@@ -1,0 +1,253 @@
+"""MERGE-style upsert sink: an Iceberg-lite snapshot/manifest table.
+
+The real deployment target is `MERGE INTO` an Iceberg table; the sandbox
+has no Iceberg jars, so this module implements the same observable
+semantics on plain parquet (SURVEY.md §7.3) with Iceberg's architecture
+in miniature:
+
+- data files are immutable, grouped into snapshots:
+  `data/snap-<version>/pbucket=<b>/part-*.parquet`
+- a manifest (JSON, atomically renamed into place) maps every bucket to
+  the snapshot that currently owns it, carries the committed-batch set
+  (idempotence / exactly-once), per-bucket lineage (max binlog position
+  -> snapshot, per the north rule "per-partition lineage: source log
+  position -> Iceberg snapshot"), and the evolving column list.
+
+Merge semantics: a batch arrives LWW-resolved (unique keys). Commit
+order is the cross-batch authority — a flashback/rollback batch is a NEW
+logged transaction that must supersede the forward rows it undoes (its
+events carry negated seq, so raw-seq LWW across batches would be wrong).
+Hence MERGE = `current LEFT ANTI JOIN batch-keys` ∪ batch-upserts:
+batch rows always replace stored rows for their keys, deletes are
+anti-join removals. Convergence guarantees (north rule: replay from any
+checkpoint converges): duplicate batch_ids are skipped via the manifest
+(exactly-once), and re-applying batches in log order from any checkpoint
+reproduces the identical final state because each batch's winners are a
+deterministic function of the batch alone. The writer's binlog seq is
+retained per row (`_ingest_seq`) for lineage/debugging.
+
+Scale design (10^10 events, 100 TB table):
+- hash-bucketed by (repo, path) into `n_buckets`; a commit rewrites ONLY
+  buckets its batch touches (manifest-level pruning — untouched buckets
+  are never listed, let alone read): the Iceberg copy-on-write MERGE
+  shape. Bucketing the *composite* key spreads hot repos.
+- the LWW window shuffles current∪batch by the same keys the batch was
+  already partitioned on; AQE coalesces the small side.
+- crash safety: the manifest rename is the commit point; data of a
+  failed commit is never referenced (orphans, GC-able).
+
+Reference parity: replaces bingo2sql's single-writer ordered SQL file
+sink (ProcessChan/myWrite core/parser.go:844-857,672-727) with an
+ordered-by-sort, merge-into-table sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as _uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bingo2sql_spark import schema as S
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+INTERNAL_COLS = ("_ingest_seq", "bucket")
+
+
+def bucket_col(n_buckets: int):
+    """Deterministic bucket of the composite merge key. Hashing the
+    composite (repo, path) — not repo alone — is what defuses hot-repo
+    skew (SURVEY.md §7.4#5)."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in S.MERGE_KEYS]), F.lit(n_buckets)).cast("int")
+
+
+class IcebergLiteTable:
+    def __init__(self, path: str, n_buckets: int = 64):
+        self.path = path
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
+
+    # -- manifest bookkeeping ------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, f"manifest-{version:012d}.json")
+
+    def latest_manifest(self) -> dict[str, Any] | None:
+        d = os.path.join(self.path, MANIFEST_DIR)
+        names = sorted(n for n in os.listdir(d) if n.startswith("manifest-") and n.endswith(".json"))
+        if not names:
+            return None
+        with open(os.path.join(d, names[-1])) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict[str, Any]) -> None:
+        """Commit point: temp-file + atomic rename (same filesystem)."""
+        final = self._manifest_path(m["version"])
+        tmp = final + f".tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.rename(tmp, final)
+
+    # -- read path -------------------------------------------------------------
+
+    def _empty_state(self, spark: SparkSession, columns: list[str]) -> DataFrame:
+        fields = [T.StructField(c, T.StringType(), True) for c in columns]
+        fields += [
+            T.StructField("_ingest_seq", T.LongType(), True),
+            T.StructField("bucket", T.IntegerType(), True),
+        ]
+        return spark.createDataFrame([], T.StructType(fields))
+
+    def _read_raw(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Stored rows incl. internal cols; `buckets` prunes the scan at
+        the manifest level."""
+        m = self.latest_manifest()
+        cols = (m or {}).get("columns", S.payload_columns())
+        if not m or not m.get("buckets"):
+            return self._empty_state(spark, cols)
+        items = m["buckets"].items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(b, v) for b, v in items if b in want]
+        paths = [
+            os.path.join(self.path, DATA_DIR, f"snap-{v:012d}", f"pbucket={b}")
+            for b, v in items
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return self._empty_state(spark, cols)
+        df = spark.read.parquet(*paths)
+        # NULL-fill payload columns added after these files were written
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        return df.select(*cols, *INTERNAL_COLS)
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+        """Current live table state (internal columns hidden except
+        bucket)."""
+        df = self._read_raw(spark, buckets)
+        return df.select(*[c for c in df.columns if c != "_ingest_seq"])
+
+    # -- write path --------------------------------------------------------------
+
+    def commit(self, batch: DataFrame, batch_id: str) -> dict[str, Any]:
+        """Idempotent, convergent MERGE of one resolved micro-batch.
+
+        `batch` must be LWW-resolved upsert rows (resolve.to_upsert_rows):
+        unique (repo, path), payload columns, `_deleted` tombstones, and
+        `_seq`/`_log_file`/`_log_pos` for lineage. Returns per-batch
+        metrics (the reference's websocket progress push analog,
+        core/socket.go:34-76 -> per-micro-batch metrics)."""
+        t0 = time.time()
+        spark = batch.sparkSession
+        m = self.latest_manifest() or {
+            "version": 0,
+            "buckets": {},
+            "committed_batches": [],
+            "columns": [],
+            "lineage": {},
+        }
+        if batch_id in m["committed_batches"]:
+            return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
+
+        payload_cols = [c for c in batch.columns if not c.startswith("_")]
+        all_cols = list(dict.fromkeys(m["columns"] + payload_cols))  # schema evolution: union
+
+        b = (
+            batch.withColumn("bucket", bucket_col(self.n_buckets))
+            .withColumnRenamed("_seq", "_ingest_seq")
+            .persist()
+        )
+        try:
+            # per-bucket stats in ONE pass: affected buckets + lineage + counts
+            stats = (
+                b.groupBy("bucket")
+                .agg(
+                    F.max("_ingest_seq").alias("max_seq"),
+                    F.max(F.struct("_log_file", "_log_pos")).alias("max_pos"),
+                    F.sum(F.col("_deleted").cast("int")).alias("deletes"),
+                    F.count("*").alias("rows"),
+                )
+                .collect()
+            )
+            affected = sorted(int(r["bucket"]) for r in stats)
+            new_version = m["version"] + 1
+
+            if affected:
+                current = self._read_raw(spark, buckets=affected)
+                for c in all_cols:
+                    if c not in current.columns:
+                        current = current.withColumn(c, F.lit(None).cast("string"))
+                current = current.select(*all_cols, *INTERNAL_COLS)
+                upserts = b.filter(~F.col("_deleted")).select(
+                    *[
+                        F.col(c) if c in b.columns else F.lit(None).cast("string").alias(c)
+                        for c in all_cols
+                    ],
+                    *INTERNAL_COLS,
+                )
+                # MERGE: batch supersedes stored rows for its keys;
+                # deletes fall out of the anti join. AQE turns this into
+                # a broadcast anti join when the batch key set is small.
+                keys = b.select(*S.MERGE_KEYS)
+                merged = (
+                    current.join(keys, on=list(S.MERGE_KEYS), how="left_anti")
+                    .unionByName(upserts)
+                    .withColumn("pbucket", F.col("bucket"))
+                )
+                snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
+                merged.write.mode("overwrite").partitionBy("pbucket").parquet(snap_dir)
+
+            buckets_map = dict(m["buckets"])
+            lineage = dict(m.get("lineage", {}))
+            for r in stats:
+                bk = str(int(r["bucket"]))
+                buckets_map[bk] = new_version
+                lineage[bk] = {
+                    "snapshot": new_version,
+                    "max_seq": int(r["max_seq"]),
+                    "log_file": r["max_pos"]["_log_file"],
+                    "log_pos": int(r["max_pos"]["_log_pos"]),
+                }
+            metrics = {
+                "batch_id": batch_id,
+                "skipped": False,
+                "snapshot": new_version,
+                "buckets_rewritten": len(affected),
+                "buckets_total": self.n_buckets,
+                "rows_in_batch": int(sum(r["rows"] for r in stats)),
+                "deletes": int(sum(r["deletes"] for r in stats)),
+                "commit_secs": round(time.time() - t0, 3),
+            }
+            self._write_manifest(
+                {
+                    "version": new_version,
+                    "buckets": buckets_map,
+                    "committed_batches": m["committed_batches"] + [batch_id],
+                    "columns": all_cols,
+                    "lineage": lineage,
+                    "metrics": metrics,
+                }
+            )
+            return metrics
+        finally:
+            b.unpersist()
+
+    # -- verification helpers ---------------------------------------------------
+
+    def state_checksum(self, spark: SparkSession) -> list[tuple]:
+        """Per-row sha256(content) keyed by (repo, path) — the BASELINE
+        invariant — as a sorted list for test comparison."""
+        df = self.read(spark)
+        rows = (
+            df.select(*S.MERGE_KEYS, F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("h"))
+            .collect()
+        )
+        return sorted((r["repo"], r["path"], r["h"]) for r in rows)

@@ -1,0 +1,89 @@
+"""Per-key last-writer-wins resolution + skew-aware repartitioning.
+
+The reference gets total order for free (single-threaded apply through
+one channel, core/parser.go:844-857). Distributed, only per-key order is
+needed for final-state correctness — upserts commute across keys
+(SURVEY.md §7.4#2). A micro-batch may touch one (repo, path) many times;
+MERGE requires unique source keys, so we collapse each key to its last
+writer first (north rule: window-over-partitionBy(repo,path) ordered by
+(commit, event-seq)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bingo2sql_spark import schema as S
+
+#: Salt fan-out for hot keys. The per-key window itself needs all events
+#: of one (repo,path) co-located, which hashing the *composite* key
+#: already gives (hot repos split across their many paths — salting by
+#: repo alone would NOT split them; SURVEY.md §7.4#5). SALT is used when
+#: pre-shuffling huge batches before the window.
+DEFAULT_SALT = 16
+
+
+def with_key(events: DataFrame) -> DataFrame:
+    """Materialize merge-key columns from whichever image is present
+    (insert: after only; delete: before only)."""
+    out = events
+    for k in S.MERGE_KEYS:
+        out = out.withColumn(k, F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")))
+    return out
+
+
+def salted_repartition(events: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Pre-shuffle by hash of the composite key. Hashing (repo, path)
+    spreads a hot repo across partitions while keeping each key's events
+    together — the window stage then needs no second full shuffle (Spark
+    reuses hash partitioning when the window keys are a superset).
+
+    At 10^10 events the win is that the ONLY wide exchange in the
+    pipeline is this one; everything downstream (row_number, dedup,
+    merge-join on the same keys) is partition-local or AQE-coalesced."""
+    cols = [F.col(k) for k in S.MERGE_KEYS]
+    if n_partitions:
+        return events.repartition(n_partitions, *cols)
+    return events.repartition(*cols)
+
+
+def lww_resolve(events: DataFrame, dedup_replay: bool = True) -> DataFrame:
+    """Collapse each (repo, path) to its last writer.
+
+    Ordering: global binlog order `seq` (file/pos flattened), which in
+    the synthetic stream is consistent with lexically-monotone `commit`
+    — matching the north rule's (commit, event-seq) ordering. Flashback
+    inputs arrive with negated seq (operators.flashback), so the same
+    ascending semantics yield reverse replay for free.
+
+    dedup_replay drops exact duplicate deliveries (same gtid/seq seen
+    twice after a source retry) before ranking — with idempotent MERGE
+    this is the exactly-once story (SURVEY.md §2.5)."""
+    ev = with_key(events)
+    if dedup_replay:
+        ev = ev.dropDuplicates(["seq"] if "gtid_uuid" not in ev.columns else ["gtid_uuid", "gno", "seq"])
+    w = Window.partitionBy(*S.MERGE_KEYS).orderBy(F.col("seq").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def to_upsert_rows(resolved: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -> DataFrame:
+    """Project LWW winners to MERGE source rows: one row per key with
+    `_deleted` marking tombstones. Schema evolution: payload columns of
+    the requested version; columns absent in older events surface as
+    NULL (added-column NULL-fill), dropped columns are projected away."""
+    cols = S.payload_columns(schema_ver)
+    proj = [F.col(k) for k in S.MERGE_KEYS]
+    for c in cols:
+        if c in S.MERGE_KEYS:
+            continue
+        proj.append(F.col(f"after.{c}").alias(c))
+    proj.append((F.col("op") == S.OP_DELETE).alias("_deleted"))
+    proj.append(F.col("seq").alias("_seq"))
+    proj.append(F.col("log_file").alias("_log_file"))
+    proj.append(F.col("log_pos").alias("_log_pos"))
+    return resolved.select(*proj)

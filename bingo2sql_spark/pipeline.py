@@ -1,0 +1,45 @@
+"""End-to-end batch replay: the new-engine lifecycle of SURVEY.md §3.4.
+
+read events (partition-pruned) -> [decode] -> filters (F1-F8, Catalyst)
+-> flashback remap (optional) -> LWW window dedup per (repo, path)
+-> salted repartition -> MERGE into the Iceberg-lite table
+   (+ commit manifest + lineage + metrics)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bingo2sql_spark import schema as S
+from bingo2sql_spark.operators import filters as FL
+from bingo2sql_spark.operators import flashback as FB
+from bingo2sql_spark.operators import resolve as R
+from bingo2sql_spark.operators.apply import IcebergLiteTable
+
+
+def replay(
+    events: DataFrame,
+    table: IcebergLiteTable,
+    batch_id: str,
+    *,
+    flashback: bool = False,
+    schema_ver: int = S.LATEST_SCHEMA_VER,
+    repartition: int | None = None,
+    **filter_kwargs: Any,
+) -> dict[str, Any]:
+    """Replay a set of change events into the target table. Returns the
+    commit metrics. Filters are applied BEFORE any widening transform so
+    Catalyst pushes them into the scan."""
+    ev = FL.apply_filters(events, flashback=flashback, **filter_kwargs)
+    ev = ev.filter(F.col("op") != S.OP_DDL)
+    if flashback:
+        ev = FB.invert(ev)
+    ev = R.with_key(ev)
+    if repartition:
+        ev = R.salted_repartition(ev, repartition)
+    resolved = R.lww_resolve(ev)
+    batch = R.to_upsert_rows(resolved, schema_ver=schema_ver)
+    return table.commit(batch, batch_id)
