@@ -1,38 +1,741 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exercises the engine's operators (SURVEY.md §2) over the
+driver's parquet testdata; `oracle_sql()` gives the DuckDB-equivalent
+SQL for each. CDC queries derive a deterministic change-event stream
+from the `documents` table with pure relational transforms (both
+engines express the identical derivation), then run the real package
+operators (filters / flashback / LWW / render / stats) on it.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SERVER_UUIDS = [
+    "8a2f1e60-0000-11ee-be56-0242ac120001",
+    "8a2f1e60-0000-11ee-be56-0242ac120002",
+    "8a2f1e60-0000-11ee-be56-0242ac120003",
+]
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _doc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC envelope derived from `documents`: 3 versions
+    per doc; op schedule v=0 insert, (doc_id+v)%7==0 delete, else
+    update. Mirrored 1:1 by the `_EV` CTE in the oracles."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    vers = spark.range(3).withColumnRenamed("id", "v")
+    ev = docs.crossJoin(vers)
+    doc_id, v = F.col("doc_id"), F.col("v")
+    seq = (v * 1000000 + doc_id).alias("seq")
+    op = (
+        F.when(v == 0, F.lit("insert"))
+        .when((doc_id + v) % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    repo = F.concat(F.lit("repo-"), F.lpad((doc_id % 37).cast("string"), 4, "0"))
+    path = F.concat(F.lit("src/"), doc_id.cast("string"), F.lit(".txt"))
+
+    def commit_of(vx):
+        return F.lpad((vx * 1000000 + doc_id).cast("string"), 12, "0")
+
+    def lang_of(vx):
+        return F.when(vx == 2, F.lit("xx")).otherwise(F.col("lang"))
+
+    def content_of(vx):
+        return F.concat(F.col("text"), F.lit("#v"), vx.cast("string"))
+
+    def img(vx):
+        return F.struct(
+            repo.alias("repo"),
+            path.alias("path"),
+            commit_of(vx).alias("commit"),
+            lang_of(vx).alias("lang"),
+            content_of(vx).alias("content"),
+            F.lit(None).cast("string").alias("branch"),
+        )
+
+    null_img = F.lit(None).cast(
+        "struct<repo:string,path:string,commit:string,lang:string,content:string,branch:string>"
+    )
+    opc = op.alias("op")
+    return ev.select(
+        seq,
+        F.concat(
+            F.lit("bin."), F.lpad(((F.col("v") * 1000000 + doc_id) / 2500 + 1).cast("long").cast("string"), 6, "0")
+        ).alias("log_file"),
+        (((v * 1000000 + doc_id) % 2500) * 200 + 4).alias("log_pos"),
+        F.element_at(
+            F.array(*[F.lit(u) for u in SERVER_UUIDS]), (doc_id % 3 + 1).cast("int")
+        ).alias("gtid_uuid"),
+        (v * 1000000 + doc_id).alias("gno"),
+        F.timestamp_seconds(F.lit(1704067200) + F.floor((v * 1000000 + doc_id) / 10)).alias("ts"),
+        (doc_id % 32).alias("thread_id"),
+        F.lit("test").alias("db"),
+        F.lit("repo_files").alias("table"),
+        opc,
+        F.when(opc == "insert", null_img).otherwise(img(v - 1)).alias("before"),
+        F.when(opc == "delete", null_img).otherwise(img(v)).alias("after"),
+        F.lit(None).cast("array<string>").alias("changed_cols"),
+        F.lit(1).alias("schema_ver"),
+    )
+
+
+#: oracle-side mirror of _doc_events (header fields included as needed)
+_EV = """
+WITH _ev AS (
+  SELECT d.doc_id, g.v,
+         g.v*1000000 + d.doc_id AS seq,
+         CASE WHEN g.v=0 THEN 'insert'
+              WHEN (d.doc_id+g.v)%7=0 THEN 'delete'
+              ELSE 'update' END AS op,
+         'repo-' || lpad(cast(d.doc_id%37 AS varchar),4,'0') AS repo,
+         'src/' || cast(d.doc_id AS varchar) || '.txt' AS path,
+         lpad(cast(g.v*1000000+d.doc_id AS varchar),12,'0') AS commit,
+         CASE WHEN g.v=2 THEN 'xx' ELSE d.lang END AS lang,
+         d.text || '#v' || cast(g.v AS varchar) AS content,
+         lpad(cast((g.v-1)*1000000+d.doc_id AS varchar),12,'0') AS prev_commit,
+         CASE WHEN g.v-1=2 THEN 'xx' ELSE d.lang END AS prev_lang,
+         d.text || '#v' || cast(g.v-1 AS varchar) AS prev_content,
+         CASE d.doc_id%3 WHEN 0 THEN '{u0}' WHEN 1 THEN '{u1}' ELSE '{u2}' END AS gtid_uuid,
+         g.v*1000000 + d.doc_id AS gno,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ((g.v*1000000+d.doc_id)//10) SECOND AS ts,
+         d.doc_id%32 AS thread_id,
+         'test' AS db, 'repo_files' AS "table"
+  FROM documents d CROSS JOIN (SELECT range AS v FROM range(0,3)) g
+)
+""".format(u0=SERVER_UUIDS[0], u1=SERVER_UUIDS[1], u2=SERVER_UUIDS[2])
+
+
+def _events_env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-ish header derivation over the driver `events` table (for
+    filter operators). Mirrored by _EEV."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        eid,
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.concat(F.lit("bin."), F.lpad((eid / 2500 + 1).cast("long").cast("string"), 6, "0")).alias(
+            "log_file"
+        ),
+        ((eid % 2500) * 200 + 4).alias("log_pos"),
+        F.element_at(
+            F.array(*[F.lit(u) for u in SERVER_UUIDS]), (F.col("user_id") % 3 + 1).cast("int")
+        ).alias("gtid_uuid"),
+        eid.alias("gno"),
+        (F.col("user_id") % 32).alias("thread_id"),
+        F.when(F.col("event_type") == "purchase", "insert")
+        .when(F.col("event_type") == "click", "update")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("ddl")
+        .alias("op"),
+        F.when(F.col("user_id") % 5 == 0, "meta").otherwise("test").alias("db"),
+        F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")).alias("table"),
+    )
+
+
+_EEV = """
+WITH _eev AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         'bin.' || lpad(cast(event_id//2500 + 1 AS varchar),6,'0') AS log_file,
+         (event_id%2500)*200 + 4 AS log_pos,
+         CASE user_id%3 WHEN 0 THEN '{u0}' WHEN 1 THEN '{u1}' ELSE '{u2}' END AS gtid_uuid,
+         event_id AS gno,
+         user_id%32 AS thread_id,
+         CASE event_type WHEN 'purchase' THEN 'insert' WHEN 'click' THEN 'update'
+              WHEN 'error' THEN 'delete' ELSE 'ddl' END AS op,
+         CASE WHEN user_id%5=0 THEN 'meta' ELSE 'test' END AS db,
+         't' || cast(user_id%3 AS varchar) AS "table"
+  FROM events
+)
+""".format(u0=SERVER_UUIDS[0], u1=SERVER_UUIDS[1], u2=SERVER_UUIDS[2])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC replay with LWW resolution -> final table state with
+    per-row sha256(content) (the BASELINE invariant)."""
+    return _q_lww_final_state(spark, "/root/testdata/sf0.001")
+
+
+def _q_lww_final_state(spark, sf_dir):
+    from bingo2sql_spark.operators import resolve as R
+
+    env = _doc_events(spark, sf_dir)
+    resolved = R.lww_resolve(env)
+    return resolved.filter(F.col("op") != "delete").select(
+        "repo",
+        "path",
+        F.col("after.commit").alias("commit"),
+        F.col("after.lang").alias("lang"),
+        F.sha2(F.col("after.content"), 256).alias("content_sha"),
+    )
+
+
+def _q_flashback_final_state(spark, sf_dir):
+    from bingo2sql_spark.operators import flashback as FB
+    from bingo2sql_spark.operators import resolve as R
+
+    env = _doc_events(spark, sf_dir).filter(F.col("seq") >= 1000000)  # tail: v>=1
+    resolved = R.lww_resolve(FB.invert(env))
+    return resolved.filter(F.col("op") != "delete").select(
+        "repo",
+        "path",
+        F.col("after.commit").alias("commit"),
+        F.col("after.lang").alias("lang"),
+        F.sha2(F.col("after.content"), 256).alias("content_sha"),
+    )
+
+
+def _q_checkpoint_split_replay(spark, sf_dir):
+    """Replay(<=cut) ∪ replay(>cut) under LWW == full replay — the
+    convergence identity, verified against the oracle's full replay."""
+    from bingo2sql_spark.operators import resolve as R
+
+    env = _doc_events(spark, sf_dir)
+    cut = 1500000
+    both = env.filter(F.col("seq") <= cut).unionByName(env.filter(F.col("seq") > cut))
+    resolved = R.lww_resolve(both)
+    return resolved.filter(F.col("op") != "delete").select(
+        "repo", "path", F.sha2(F.col("after.content"), 256).alias("content_sha")
+    )
+
+
+def _q_time_range(spark, sf_dir):
+    from bingo2sql_spark.operators import filters as FL
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(FL.time_range("2024-01-02 00:00:00", "2024-01-04 23:59:59")).select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "event_type", "value"
+    )
+
+
+def _q_pos_range(spark, sf_dir):
+    from bingo2sql_spark.operators import filters as FL
+
+    env = _events_env(spark, sf_dir)
+    return env.filter(
+        FL.pos_range(start_file="bin.000002", start_pos=100000, stop_file="bin.000004", stop_pos=300000)
+    ).select("event_id", "log_file", "log_pos")
+
+
+def _q_gtid_filter(spark, sf_dir):
+    from bingo2sql_spark.operators import filters as FL
+
+    spec = (
+        f"{SERVER_UUIDS[0]}:0-3000,{SERVER_UUIDS[0]}:5000-6000,{SERVER_UUIDS[2]}:2000-4000"
+    )
+    env = _events_env(spark, sf_dir)
+    return env.filter(FL.gtid_set(spec)).select("event_id", "gtid_uuid", "gno")
+
+
+def _q_dml_type_filter(spark, sf_dir):
+    from bingo2sql_spark.operators import filters as FL
+
+    env = _events_env(spark, sf_dir)
+    return env.filter(FL.dml_types(["insert", "delete"])).select("event_id", "op")
+
+
+def _q_thread_filter(spark, sf_dir):
+    from bingo2sql_spark.operators import filters as FL
+
+    env = _events_env(spark, sf_dir)
+    return env.filter(FL.thread_id(7)).select("event_id", "user_id")
+
+
+def _q_schema_table_filter(spark, sf_dir):
+    from bingo2sql_spark.operators import filters as FL
+
+    env = _events_env(spark, sf_dir)
+    return (
+        env.filter(FL.schema_table(dbs=["test", "meta"], tables=["t0", "meta.t2"]))
+        .groupBy("db", "table")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_max_rows(spark, sf_dir):
+    from bingo2sql_spark.operators import filters as FL
+
+    env = _events_env(spark, sf_dir)
+    return FL.max_rows(env.select("event_id", "op"), 500, order=["event_id"])
+
+
+def _q_stats_per_table(spark, sf_dir):
+    from bingo2sql_spark.operators import stats as ST
+
+    env = _events_env(spark, sf_dir).filter(F.col("op") != "ddl")
+    s = ST.table_stats(env)
+    return s.select(
+        "db",
+        "table",
+        "inserts",
+        "updates",
+        "deletes",
+        "total",
+        F.unix_micros(F.col("first_ts").cast("timestamp")).alias("first_ts_us"),
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_ts_us"),
+    )
+
+
+def _q_render_insert(spark, sf_dir):
+    from bingo2sql_spark.functions import render as RD
+
+    env = _doc_events(spark, sf_dir).filter(F.col("op") == "insert")
+    return RD.render_sql(env).select("seq", "sql")
+
+
+def _q_render_update_minimal(spark, sf_dir):
+    from bingo2sql_spark.functions import render as RD
+
+    env = _doc_events(spark, sf_dir).filter(F.col("op") == "update")
+    return RD.render_sql(env, minimal_update=True).select("seq", "sql")
+
+
+def _q_render_delete(spark, sf_dir):
+    from bingo2sql_spark.functions import render as RD
+
+    env = _doc_events(spark, sf_dir).filter(F.col("op") == "delete")
+    return RD.render_sql(env).select("seq", "sql")
+
+
+def _q_decoration(spark, sf_dir):
+    from bingo2sql_spark.functions import render as RD
+
+    env = _doc_events(spark, sf_dir)
+    rendered = RD.render_sql(env)
+    return RD.decorate(rendered).select("seq", "gtid_comment", "time_comment")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return DD.exact_dedup_groups(doubled)
+
+
+def _q_dedup_fingerprint(spark, sf_dir):
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.fingerprint_dedup_groups(docs)
+
+
+def _q_minhash_signature(spark, sf_dir):
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_signature(docs, k=4)
+
+
+def _q_simhash(spark, sf_dir):
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_signatures(docs, n_bits=8)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.05, block_col="lang")
+
+
+def _q_text_tokens(spark, sf_dir):
+    from bingo2sql_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.token_count_bpe("text").alias("n_bpe"),
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    from bingo2sql_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.avg_token_len("text").alias("avg_token_len"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from bingo2sql_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+def _q_ann_brute(spark, sf_dir):
+    from bingo2sql_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from bingo2sql_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64)
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
+        (F.length(blob) % 256).alias("feat0"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_final_state": _q_lww_final_state,
+        "cdc_flashback_final_state": _q_flashback_final_state,
+        "cdc_checkpoint_split_replay": _q_checkpoint_split_replay,
+        "cdc_time_range_filter": _q_time_range,
+        "cdc_pos_range_filter": _q_pos_range,
+        "cdc_gtid_filter": _q_gtid_filter,
+        "cdc_dml_type_filter": _q_dml_type_filter,
+        "cdc_thread_filter": _q_thread_filter,
+        "cdc_schema_table_filter": _q_schema_table_filter,
+        "cdc_max_rows_limit": _q_max_rows,
+        "cdc_stats_per_table": _q_stats_per_table,
+        "cdc_render_insert_sql": _q_render_insert,
+        "cdc_render_update_minimal": _q_render_update_minimal,
+        "cdc_render_delete_sql": _q_render_delete,
+        "cdc_output_decoration": _q_decoration,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_fingerprint": _q_dedup_fingerprint,
+        "dedup_minhash_signature": _q_minhash_signature,
+        "dedup_simhash": _q_simhash,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "text_token_count": _q_text_tokens,
+        "text_quality_score": _q_text_quality,
+        "text_lang_id": _q_lang_id,
+        "ann_cosine_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "multimodal_binary_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the pre-registered views)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_oracle() -> str:
+    """Mirror of similarity.srp_bucket with the same md5-derived ±1
+    weights, generated here so both sides share one definition."""
+    def weights(j):
+        return [
+            1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 else -1
+            for i in range(64)
+        ]
+
+    def bucket_expr(col):
+        bits = []
+        for j in range(4):
+            w = ",".join(str(x) for x in weights(j))
+            bits.append(
+                f"(CASE WHEN list_dot_product(list_transform({col}, x->round(cast(x AS double)*1000)), [{w}]) > 0 THEN '1' ELSE '0' END)"
+            )
+        return " || ".join(bits)
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bkt FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM v WHERE vec_id%100=0),
+s AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         CAST(list_dot_product(list_transform(v.embedding, x->round(cast(x AS double)*1000)),
+                               list_transform(q.qv,        x->round(cast(x AS double)*1000))) AS BIGINT) AS dot_scaled
+  FROM v JOIN q ON v.bkt = q.bkt
+)
+SELECT query_id, neighbor_id, dot_scaled, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_scaled DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= 5
+"""
+
+
+_FINAL_STATE = (
+    _EV
+    + """
+SELECT repo, path, commit, lang, sha256(content) AS content_sha
+FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn FROM _ev)
+WHERE rn=1 AND op<>'delete'
+"""
+)
+
+_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(_w)-2, 1)), "
+    "i -> md5(concat_ws(' ', _w[i], _w[i+1], _w[i+2])))"
+)
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _simhash_bit(j: int) -> str:
+    return (
+        f"(CASE WHEN list_sum(list_transform(_w, t -> (ascii(substr(md5(t), {j + 1}, 1))%2)*2-1)) > 0 "
+        f"THEN '1' ELSE '0' END)"
+    )
+
+
+_LANG_CASE = """
+CASE
+  WHEN s_zh = m THEN 'zh'
+  WHEN s_fr = m THEN 'fr'
+  WHEN s_es = m THEN 'es'
+  WHEN s_en = m THEN 'en'
+  ELSE 'de'
+END
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    esc = "replace(replace(replace(replace({x}, '\\', '\\\\'), chr(39), '\\' || chr(39)), chr(10), '\\n'), chr(13), '\\r')"
+    lit = "(CASE WHEN {x} IS NULL THEN 'NULL' ELSE chr(39) || " + esc + " || chr(39) END)"
+
+    def L(x):
+        return lit.format(x=x)
+
+    q = {}
+    q["cdc_lww_final_state"] = _FINAL_STATE
+    q["cdc_checkpoint_split_replay"] = (
+        _EV
+        + """
+SELECT repo, path, sha256(content) AS content_sha
+FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn FROM _ev)
+WHERE rn=1 AND op<>'delete'
+"""
+    )
+    # flashback of the v>=1 tail: winner = inverted v=1 event; its after
+    # image is the v=0 state; inverted op is never delete here.
+    q["cdc_flashback_final_state"] = (
+        _EV
+        + """
+SELECT repo, path, prev_commit AS commit, prev_lang AS lang, sha256(prev_content) AS content_sha
+FROM _ev WHERE v = 1
+"""
+    )
+    q["cdc_time_range_filter"] = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts <= TIMESTAMP '2024-01-04 23:59:59'
+"""
+    q["cdc_pos_range_filter"] = (
+        _EEV
+        + """
+SELECT event_id, log_file, log_pos FROM _eev
+WHERE (log_file > 'bin.000002' OR (log_file = 'bin.000002' AND log_pos >= 100000))
+  AND (log_file < 'bin.000004' OR (log_file = 'bin.000004' AND log_pos <= 300000))
+"""
+    )
+    q["cdc_gtid_filter"] = (
+        _EEV
+        + f"""
+SELECT event_id, gtid_uuid, gno FROM _eev
+WHERE (gtid_uuid = '{SERVER_UUIDS[0]}' AND gno BETWEEN 0 AND 3000)
+   OR (gtid_uuid = '{SERVER_UUIDS[0]}' AND gno BETWEEN 5000 AND 6000)
+   OR (gtid_uuid = '{SERVER_UUIDS[2]}' AND gno BETWEEN 2000 AND 4000)
+"""
+    )
+    q["cdc_dml_type_filter"] = _EEV + "SELECT event_id, op FROM _eev WHERE op IN ('insert','delete')"
+    q["cdc_thread_filter"] = _EEV + "SELECT event_id, user_id FROM _eev WHERE thread_id = 7"
+    q["cdc_schema_table_filter"] = (
+        _EEV
+        + """
+SELECT db, "table", count(*) AS n FROM _eev
+WHERE lower(db) IN ('test','meta')
+  AND (lower("table") = 't0' OR (lower(db)='meta' AND lower("table")='t2'))
+GROUP BY db, "table"
+"""
+    )
+    q["cdc_max_rows_limit"] = _EEV + "SELECT event_id, op FROM _eev ORDER BY event_id LIMIT 500"
+    q["cdc_stats_per_table"] = (
+        _EEV
+        + """
+SELECT db, "table",
+       sum(CASE WHEN op='insert' THEN 1 ELSE 0 END) AS inserts,
+       sum(CASE WHEN op='update' THEN 1 ELSE 0 END) AS updates,
+       sum(CASE WHEN op='delete' THEN 1 ELSE 0 END) AS deletes,
+       count(*) AS total,
+       epoch_us(min(ts)) AS first_ts_us,
+       epoch_us(max(ts)) AS last_ts_us
+FROM _eev WHERE op <> 'ddl' GROUP BY db, "table"
+"""
+    )
+    cols = ["repo", "path", "commit", "lang", "content"]
+    vals = ",".join("' || " + L(c) + " || '" for c in cols) + ",NULL"
+    collist = ",".join(f"`{c}`" for c in cols + ["branch"])
+    q["cdc_render_insert_sql"] = (
+        _EV
+        + f"""
+SELECT seq, 'INSERT INTO `test`.`repo_files`({collist}) VALUES({vals});' AS sql
+FROM _ev WHERE op='insert'
+"""
+    )
+    # minimal update: keys unchanged; commit+content always change; lang
+    # changes only at v=2 ('xx' vs base lang, unless base lang IS 'xx');
+    # branch NULL=NULL unchanged.
+    q["cdc_render_update_minimal"] = (
+        _EV
+        + f"""
+SELECT seq,
+  'UPDATE `test`.`repo_files` SET ' ||
+  '`commit`=' || {L("commit")} ||
+  (CASE WHEN lang IS DISTINCT FROM prev_lang THEN ',`lang`=' || {L("lang")} ELSE '' END) ||
+  ',`content`=' || {L("content")} ||
+  ' WHERE `repo`=' || {L("repo")} || ' AND `path`=' || {L("path")} || ';' AS sql
+FROM _ev WHERE op='update'
+"""
+    )
+    q["cdc_render_delete_sql"] = (
+        _EV
+        + f"""
+SELECT seq,
+  'DELETE FROM `test`.`repo_files` WHERE `repo`=' || {L("repo")} || ' AND `path`=' || {L("path")} || ';' AS sql
+FROM _ev WHERE op='delete'
+"""
+    )
+    q["cdc_output_decoration"] = (
+        _EV
+        + """
+SELECT seq,
+  CASE WHEN lag(gtid) OVER w IS NULL OR lag(gtid) OVER w <> gtid
+       THEN '# GTID ' || gtid END AS gtid_comment,
+  CASE WHEN lag(sec) OVER w IS NULL OR lag(sec) OVER w <> sec
+       THEN '; # ' || strftime(sec, '%Y-%m-%d %H:%M:%S') END AS time_comment
+FROM (SELECT seq, gtid_uuid || ':' || cast(gno AS varchar) AS gtid,
+             date_trunc('second', ts) AS sec FROM _ev)
+WINDOW w AS (ORDER BY seq)
+"""
+    )
+    q["dedup_exact"] = """
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id+1000000, text FROM documents)
+SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS n_docs
+FROM d GROUP BY md5(text)
+"""
+    q["dedup_fingerprint"] = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+       min(doc_id) AS keeper_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+    q["dedup_minhash_signature"] = f"""
+SELECT doc_id,
+       list_min(list_transform(_sh, s -> md5('0:' || s))) AS mh0,
+       list_min(list_transform(_sh, s -> md5('1:' || s))) AS mh1,
+       list_min(list_transform(_sh, s -> md5('2:' || s))) AS mh2,
+       list_min(list_transform(_sh, s -> md5('3:' || s))) AS mh3
+FROM (SELECT doc_id, {_SHINGLES} AS _sh
+      FROM (SELECT doc_id, {_WORDS} AS _w FROM documents))
+"""
+    q["dedup_simhash"] = (
+        "SELECT doc_id, "
+        + " || ".join(_simhash_bit(j) for j in range(8))
+        + f" AS simhash FROM (SELECT doc_id, {_WORDS} AS _w FROM documents)"
+    )
+    q["dedup_ngram_jaccard"] = f"""
+WITH s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS sh
+           FROM (SELECT doc_id, lang, {_WORDS} AS _w FROM documents))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.05
+"""
+    q["text_token_count"] = f"""
+SELECT doc_id, len({_WORDS}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+FROM documents
+"""
+    sw = "the','a','of','and','to','in"
+    q["text_quality_score"] = f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS _w FROM documents),
+m AS (SELECT doc_id, len(_w) AS n,
+             round(cast(len(list_filter(_w, x -> lower(x) IN ('{sw}'))) AS double)/len(_w), 4) AS swr,
+             round(cast(list_sum(list_transform(_w, x -> length(x))) AS double)/len(_w), 4) AS atl
+      FROM t)
+SELECT doc_id, swr AS stopword_ratio, atl AS avg_token_len,
+       round((CASE WHEN n>=20 THEN 1.0 ELSE cast(n AS double)/20.0 END)
+             * (CASE WHEN swr BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality
+FROM m
+"""
+    marker = {
+        "en": "'the','a','of'",
+        "es": "'el','la','de'",
+        "de": "'der','die','das'",
+        "fr": "'le','la','et'",
+        "zh": "'de','le','shi'",
+    }
+    score_exprs = ",\n".join(
+        f"len(list_filter(_w, x -> lower(x) IN ({words}))) AS s_{lang}"
+        for lang, words in marker.items()
+    )
+    q["text_lang_id"] = f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS _w FROM documents),
+s AS (SELECT doc_id, {score_exprs} FROM t),
+m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM s)
+SELECT doc_id, {_LANG_CASE} AS lang_pred FROM m
+"""
+    q["ann_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id%50=0),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(list_dot_product(list_transform(e.embedding, x->round(cast(x AS double)*1000)),
+                                   list_transform(q.qv,        x->round(cast(x AS double)*1000))) AS BIGINT) AS dot_scaled
+      FROM embeddings e, q)
+SELECT query_id, neighbor_id, dot_scaled, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_scaled DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= 5
+"""
+    q["ann_lsh_topk"] = _lsh_oracle()
+    q["multimodal_binary_meta"] = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       ascii(substr(text,1,1)) AS first_byte,
+       octet_length(encode(text)) % 256 AS feat0
+FROM documents
+"""
+    return q

@@ -1,0 +1,140 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-aware:
+- exact: hash-groupBy on a content digest — one shuffle, map-side
+  partial aggregation.
+- fingerprint: same, on a normalization-invariant digest.
+- MinHash+LSH: shingle -> k min-hashes -> band buckets -> candidate
+  pairs only within buckets (the cross-join never materializes; the
+  band groupBy is the only wide exchange, and bucket sizes bound the
+  pair blow-up).
+- SimHash: near-dup via hamming-adjacent bit signatures.
+
+Everything is built-in Column expressions (md5 + array ops), JVM-side.
+MinHash values are *lexicographic minima of md5 hex strings* rather than
+ints — same statistical behavior, trivially portable to any SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bingo2sql_spark.functions import text as TX
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: digest, keeper (min id), count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def fingerprint_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup groups under token-set normalization (word order /
+    duplication invariant)."""
+    return (
+        docs.select(TX.fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def minhash_signature(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per doc. Hash family i is
+    md5(i || shingle); the min is taken lexicographically over hex."""
+    sh = TX.shingles(text_col, shingle_n)
+    cols = [F.col(id_col)]
+
+    def mk(i: int):
+        # NB: a default-arg capture (lambda s, i=i: ...) would change the
+        # lambda's arity and make Spark pass the ELEMENT INDEX as i.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    for i in range(k):
+        cols.append(F.array_min(F.transform(sh, mk(i))).alias(f"mh{i}"))
+    return docs.select(*cols)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: signature split into `bands` bands of k/bands rows;
+    docs sharing any band digest become candidate pairs (id_a < id_b).
+
+    Scale shape: explode to (band_id, band_digest, doc) — the groupBy on
+    the digest is the only shuffle; a self-join *within* buckets yields
+    pairs. Hot buckets (boilerplate docs) are the skew risk — AQE skew
+    join handles it, and a bucket-size cap can drop degenerate buckets."""
+    rows_per_band = k // bands
+    sig = minhash_signature(docs, text_col, id_col, k, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+                "digest"
+            ),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bd")).select(
+        F.col(id_col), F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
+    return docs.select(F.col(id_col), TX.simhash_bits(text_col, n_bits).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs. Without `block_col`
+    this is quadratic — at scale ALWAYS block first (minhash bands or a
+    cheap key like language+length-bucket)."""
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

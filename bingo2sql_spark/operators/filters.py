@@ -46,15 +46,17 @@ def pos_range(
 ) -> Column:
     """F2 — binlog (file, pos) tuple-range gate (checkFinish
     core/parser.go:523-574). Tuple comparison via struct ordering."""
-    cur = F.struct(F.col("log_file"), F.col("log_pos"))
+    def bound(file: str, pos: int) -> Column:
+        return F.struct(
+            F.lit(file).alias("log_file"), F.lit(pos).cast("long").alias("log_pos")
+        )
+
+    cur = F.struct(F.col("log_file"), F.col("log_pos").cast("long").alias("log_pos"))
     c = F.lit(True)
     if start_file is not None:
-        c = c & (cur >= F.struct(F.lit(start_file), F.lit(start_pos)))
+        c = c & (cur >= bound(start_file, start_pos))
     if stop_file is not None:
-        c = c & (
-            cur
-            <= F.struct(F.lit(stop_file), F.lit(stop_pos if stop_pos is not None else (1 << 62)))
-        )
+        c = c & (cur <= bound(stop_file, stop_pos if stop_pos is not None else (1 << 62)))
     return c
 
 

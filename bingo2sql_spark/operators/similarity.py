@@ -1,0 +1,124 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Baseline: brute-force cosine/dot top-k (query-set broadcast against the
+corpus — one pass, no shuffle of the big side; TakeOrderedAndProject per
+query via window top-k).
+
+Scale path: sign-random-projection LSH — each vector gets a small bucket
+code from deterministic hyperplanes; candidates only join within a
+bucket. At 10^9 vectors the bucket join replaces the O(Q*N) scan.
+
+Determinism: dot products are computed on round(x*1000) integer
+components (exact in doubles), so any SQL engine reproduces the exact
+ranking — float-sum association differences can't flip the order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _int_vec(col: F.Column) -> F.Column:
+    """Component-wise round(x*1000): exact integer embedding proxy."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000))
+
+
+def dot_int(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(_int_vec(a), _int_vec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by integer-scaled dot product. `queries` is expected
+    to be small — it is broadcast, so the corpus is scanned once with no
+    shuffle; the per-query window is a partial top-k (AQE-local)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = vectors.alias("v").join(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        dot_int(F.col(vec_col), F.col("_qvec")).alias("dot_scaled"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "dot_scaled", "rank")
+    )
+
+
+def srp_bucket(vec_col: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
+    """Sign-random-projection bucket code ('0'/'1' per hyperplane).
+
+    Hyperplane j's weight on dimension i is ±1 from the parity of a hex
+    char of md5(j||':'||i) — fully deterministic, no stored model, and
+    reproducible in any engine with md5+ascii."""
+    import hashlib
+
+    bits = []
+    iv = _int_vec(vec_col)
+    for j in range(n_planes):
+        # driver-side constant weights (tiny: n_planes * dim literals)
+        weights = [
+            1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 else -1
+            for i in range(dim)
+        ]
+        s = F.aggregate(
+            F.zip_with(
+                iv,
+                F.array(*[F.lit(w) for w in weights]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k restricted to the query's SRP bucket. Recall < 1 by
+    construction; at scale add multi-probe (flip one bit) or more
+    tables. The bucket equi-join is the only shuffle."""
+    vb = vectors.withColumn("_bucket", srp_bucket(F.col(vec_col), n_planes, dim))
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
+    )
+    scored = vb.join(F.broadcast(qb), "_bucket").select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        dot_int(F.col(vec_col), F.col("_qvec")).alias("dot_scaled"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dot_scaled").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "dot_scaled", "rank")
+    )

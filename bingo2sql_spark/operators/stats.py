@@ -1,0 +1,53 @@
+"""A1-A4 — stats mode (bingo2sql `stats` subcommand, cmd/stats.go:30-54).
+
+The reference accumulates per-table insert/update/delete counts in a map
+while scanning (core/parser_stats.go:549-632); here it is one groupBy
+with conditional aggregation (map-side partial agg, single shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_stats(events: DataFrame) -> DataFrame:
+    """Per-(db, table) DML counts + event-time span, ordered ascending
+    by total like the reference (core/parser_stats.go:39-43).
+
+    Conditional sums instead of pivot so output column names are fixed
+    (oracle-friendly) and a single aggregate suffices."""
+    return (
+        events.groupBy("db", "table")
+        .agg(
+            F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("inserts"),
+            F.sum(F.when(F.col("op") == "update", 1).otherwise(0)).alias("updates"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+            F.count("*").alias("total"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("total", "db", "table")
+    )
+
+
+def progress_percent(processed_rows: int, total_rows: int) -> int:
+    """A3 — rows-based progress percent (Percent()
+    core/parser.go:2424-2457): 0..99 while running (the reference caps
+    at 99 until Archive sends 100)."""
+    if total_rows <= 0:
+        return 0
+    pct = int(processed_rows * 100 / total_rows)
+    return max(0, min(pct, 99))
+
+
+def compute_percent(sizes: list[int], current_file_idx: int, current_pos: int) -> float:
+    """A3 — byte-based progress across a binlog file list, piecewise per
+    file (ComputePercent core/parser.go:2498-2567; unit test
+    TestComputePercent core/parser_test.go:1232-1308): fraction of total
+    bytes consumed when the scanner is at (file idx, byte pos)."""
+    total = sum(sizes)
+    if total <= 0:
+        return 0.0
+    done = sum(sizes[:current_file_idx]) + min(current_pos, sizes[current_file_idx] if current_file_idx < len(sizes) else 0)
+    return min(100.0, round(done * 100.0 / total, 2))
