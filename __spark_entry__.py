@@ -365,7 +365,9 @@ def _q_simhash(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     from bingo2sql_spark.operators import dedup as DD
 
-    docs = _t(spark, sf_dir, "documents")
+    # exact Jaccard is quadratic within blocks — bench on a 1/5 sample
+    # (lang-blocked); the scale path is minhash_candidate_pairs
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return DD.ngram_jaccard_pairs(docs, threshold=0.05, block_col="lang")
 
 
@@ -678,7 +680,7 @@ FROM (SELECT doc_id, {_SHINGLES} AS _sh
     )
     q["dedup_ngram_jaccard"] = f"""
 WITH s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS sh
-           FROM (SELECT doc_id, lang, {_WORDS} AS _w FROM documents))
+           FROM (SELECT doc_id, lang, {_WORDS} AS _w FROM documents WHERE doc_id % 5 = 0))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(cast(len(list_intersect(a.sh, b.sh)) AS double)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard

@@ -1,0 +1,107 @@
+"""Benchmark driver: headline CDC replay throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline secs>, "unit": "sec",
+   "queries": {...per-query secs...}, "sf": <sf>,
+   "events": N, "events_per_sec": X, ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_EVENTS (override headline event count),
+     BENCH_QUERIES (comma list; default all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bingo2sql_spark.session import get_spark  # noqa: E402
+
+
+def headline_replay(spark, n_events: int) -> dict:
+    """Synth -> filters -> LWW -> Iceberg-lite MERGE, timed end to end
+    (events materialized to parquet first so generation isn't counted)."""
+    from bingo2sql_spark.operators.apply import IcebergLiteTable
+    from bingo2sql_spark.pipeline import replay
+    from bingo2sql_spark.sources.synth import generate_events
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        src = os.path.join(tmp, "events")
+        n_keys = max(1000, n_events // 8)
+        generate_events(
+            spark, n_keys=n_keys, versions_per_key=8, n_repos=max(50, n_keys // 200)
+        ).write.mode("overwrite").parquet(src)
+        events = spark.read.parquet(src)
+
+        # JVM/codegen warmup on a small slice (reference methodology:
+        # medians of 10 timed runs, docs/test.md) — one throwaway replay
+        warm = IcebergLiteTable(os.path.join(tmp, "warm"), n_buckets=8)
+        replay(events.filter("seq % 50 = 0"), warm, batch_id="warm", tables=["repo_files"])
+
+        # timed: initial load replay + an incremental second batch
+        table = IcebergLiteTable(os.path.join(tmp, "target"), n_buckets=64)
+        t0 = time.time()
+        replay(events, table, batch_id="bench", tables=["repo_files"])
+        secs = time.time() - t0
+        rows = table.read(spark).count()
+
+        ev2 = generate_events(
+            spark, n_keys=n_keys, versions_per_key=8, n_repos=max(50, n_keys // 200), seed=43
+        )
+        t1 = time.time()
+        replay(ev2, table, batch_id="bench2", tables=["repo_files"])
+        inc_secs = time.time() - t1
+        return {
+            "replay_secs": round(secs, 3),
+            "events": n_events,
+            "events_per_sec": round(n_events / secs, 1),
+            "incremental_secs": round(inc_secs, 3),
+            "incremental_events_per_sec": round(n_events / inc_secs, 1),
+            "final_rows": rows,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark("bench")
+
+    n_events = int(os.environ.get("BENCH_EVENTS", str(max(80_000, int(8_000_000 * sf)))))
+    head = headline_replay(spark, n_events)
+
+    import __spark_entry__ as entrymod
+
+    only = os.environ.get("BENCH_QUERIES")
+    wanted = set(only.split(",")) if only else None
+    qtimes: dict[str, float] = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        if wanted and name not in wanted:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_wall_seconds",
+        "value": head["replay_secs"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        **head,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,18 +13,21 @@ in miniature:
   -> snapshot, per the north rule "per-partition lineage: source log
   position -> Iceberg snapshot"), and the evolving column list.
 
-Merge semantics: a batch arrives LWW-resolved (unique keys). Commit
-order is the cross-batch authority — a flashback/rollback batch is a NEW
-logged transaction that must supersede the forward rows it undoes (its
-events carry negated seq, so raw-seq LWW across batches would be wrong).
-Hence MERGE = `current LEFT ANTI JOIN batch-keys` ∪ batch-upserts:
-batch rows always replace stored rows for their keys, deletes are
-anti-join removals. Convergence guarantees (north rule: replay from any
-checkpoint converges): duplicate batch_ids are skipped via the manifest
-(exactly-once), and re-applying batches in log order from any checkpoint
-reproduces the identical final state because each batch's winners are a
-deterministic function of the batch alone. The writer's binlog seq is
-retained per row (`_ingest_seq`) for lineage/debugging.
+Merge semantics: last-writer-wins BY SOURCE LOG POSITION, with retained
+tombstones (Iceberg delete-file analog):
+
+    winners(key) = argmax_seq( current-rows ∪ batch-rows )
+
+Stored rows keep the writer's binlog seq (`_ingest_seq`); DELETE winners
+are kept as `_deleted` tombstone rows so that a late-arriving older
+event can never resurrect a deleted key. This makes the sink a LWW
+register per key — commits CONVERGE under any micro-batch delivery
+order, duplicate delivery (batch_ids already committed are skipped), and
+replay from any checkpoint (north rule). Flashback batches participate
+correctly because pipeline.replay REBASES their seqs past the current
+log head (a rollback executed against MySQL is new binlog traffic with
+new positions — same model). Tombstones are physically dropped by
+`compact()` once no older replays are in flight.
 
 Scale design (10^10 events, 100 TB table):
 - hash-bucketed by (repo, path) into `n_buckets`; a commit rewrites ONLY
@@ -57,7 +60,7 @@ from bingo2sql_spark import schema as S
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
-INTERNAL_COLS = ("_ingest_seq", "bucket")
+INTERNAL_COLS = ("_ingest_seq", "_deleted", "bucket")
 
 
 def bucket_col(n_buckets: int):
@@ -100,6 +103,7 @@ class IcebergLiteTable:
         fields = [T.StructField(c, T.StringType(), True) for c in columns]
         fields += [
             T.StructField("_ingest_seq", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), True),
             T.StructField("bucket", T.IntegerType(), True),
         ]
         return spark.createDataFrame([], T.StructType(fields))
@@ -130,21 +134,42 @@ class IcebergLiteTable:
         return df.select(*cols, *INTERNAL_COLS)
 
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        """Current live table state (internal columns hidden except
-        bucket)."""
+        """Current live table state (tombstones filtered, internal
+        columns hidden except bucket)."""
         df = self._read_raw(spark, buckets)
-        return df.select(*[c for c in df.columns if c != "_ingest_seq"])
+        return df.filter(~F.col("_deleted")).select(
+            *[c for c in df.columns if c not in ("_ingest_seq", "_deleted")]
+        )
+
+    def head_seq(self) -> int:
+        """Highest source log seq the table has absorbed (from lineage);
+        0 for an empty table. Used to rebase flashback batches."""
+        m = self.latest_manifest()
+        if not m or not m.get("lineage"):
+            return 0
+        return max(int(v["max_seq"]) for v in m["lineage"].values())
 
     # -- write path --------------------------------------------------------------
 
     def commit(self, batch: DataFrame, batch_id: str) -> dict[str, Any]:
-        """Idempotent, convergent MERGE of one resolved micro-batch.
+        """Idempotent, convergent MERGE of one micro-batch.
 
-        `batch` must be LWW-resolved upsert rows (resolve.to_upsert_rows):
-        unique (repo, path), payload columns, `_deleted` tombstones, and
-        `_seq`/`_log_file`/`_log_pos` for lineage. Returns per-batch
-        metrics (the reference's websocket progress push analog,
-        core/socket.go:34-76 -> per-micro-batch metrics)."""
+        `batch` is upsert rows (resolve.to_upsert_rows): payload columns,
+        `_deleted` tombstones, `_seq`/`_log_file`/`_log_pos`. Keys may
+        repeat (many events per key in the batch) — the merge groupBy IS
+        the LWW resolution, so no separate pre-resolve pass or shuffle
+        is needed. Returns per-batch metrics (the reference's websocket
+        progress push analog, core/socket.go:34-76).
+
+        Plan shape (the whole commit is 2 jobs, 3 exchanges):
+          job 1: batch projection (bucket, seq, pos) -> groupBy bucket
+                 (map-side combined) -> collect: affected buckets,
+                 lineage, counts.
+          job 2: (stored-rows-of-affected-buckets ∪ batch)
+                 -> groupBy(key).max_by(row, seq)    [the MERGE]
+                 -> repartition(pbucket)             [write clustering]
+                 -> parquet.
+        """
         t0 = time.time()
         spark = batch.sparkSession
         m = self.latest_manifest() or {
@@ -160,85 +185,117 @@ class IcebergLiteTable:
         payload_cols = [c for c in batch.columns if not c.startswith("_")]
         all_cols = list(dict.fromkeys(m["columns"] + payload_cols))  # schema evolution: union
 
-        b = (
-            batch.withColumn("bucket", bucket_col(self.n_buckets))
-            .withColumnRenamed("_seq", "_ingest_seq")
-            .persist()
+        b = batch.withColumn("bucket", bucket_col(self.n_buckets)).withColumnRenamed(
+            "_seq", "_ingest_seq"
         )
-        try:
-            # per-bucket stats in ONE pass: affected buckets + lineage + counts
-            stats = (
-                b.groupBy("bucket")
-                .agg(
-                    F.max("_ingest_seq").alias("max_seq"),
-                    F.max(F.struct("_log_file", "_log_pos")).alias("max_pos"),
-                    F.sum(F.col("_deleted").cast("int")).alias("deletes"),
-                    F.count("*").alias("rows"),
-                )
-                .collect()
+        # job 1 — narrow projection only (no payload): affected buckets,
+        # lineage, counts. Map-side combine makes this a tiny shuffle.
+        stats = (
+            b.select("bucket", "_ingest_seq", "_deleted", "_log_file", "_log_pos")
+            .groupBy("bucket")
+            .agg(
+                F.max("_ingest_seq").alias("max_seq"),
+                F.max(F.struct("_log_file", "_log_pos")).alias("max_pos"),
+                F.sum(F.col("_deleted").cast("int")).alias("deletes"),
+                F.count("*").alias("rows"),
             )
-            affected = sorted(int(r["bucket"]) for r in stats)
-            new_version = m["version"] + 1
+            .collect()
+        )
+        affected = sorted(int(r["bucket"]) for r in stats)
+        new_version = m["version"] + 1
 
-            if affected:
-                current = self._read_raw(spark, buckets=affected)
-                for c in all_cols:
-                    if c not in current.columns:
-                        current = current.withColumn(c, F.lit(None).cast("string"))
-                current = current.select(*all_cols, *INTERNAL_COLS)
-                upserts = b.filter(~F.col("_deleted")).select(
-                    *[
-                        F.col(c) if c in b.columns else F.lit(None).cast("string").alias(c)
-                        for c in all_cols
-                    ],
-                    *INTERNAL_COLS,
-                )
-                # MERGE: batch supersedes stored rows for its keys;
-                # deletes fall out of the anti join. AQE turns this into
-                # a broadcast anti join when the batch key set is small.
-                keys = b.select(*S.MERGE_KEYS)
-                merged = (
-                    current.join(keys, on=list(S.MERGE_KEYS), how="left_anti")
-                    .unionByName(upserts)
-                    .withColumn("pbucket", F.col("bucket"))
-                )
-                snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
-                merged.write.mode("overwrite").partitionBy("pbucket").parquet(snap_dir)
+        if affected:
+            current = self._read_raw(spark, buckets=affected)
+            for c in all_cols:
+                if c not in current.columns:
+                    current = current.withColumn(c, F.lit(None).cast("string"))
+            current = current.select(*all_cols, *INTERNAL_COLS)
+            batch_rows = b.select(
+                *[
+                    F.col(c) if c in b.columns else F.lit(None).cast("string").alias(c)
+                    for c in all_cols
+                ],
+                *INTERNAL_COLS,
+            )
+            # job 2 — MERGE = per-key LWW by source seq over stored ∪
+            # batch (map-side combinable max_by — no sort, no anti-join;
+            # also collapses multiple events per key within the batch).
+            # Tombstones stay as rows so older replays cannot resurrect
+            # deleted keys.
+            data_cols = [c for c in all_cols if c not in S.MERGE_KEYS]
+            winner = F.max_by(
+                F.struct(*data_cols, *INTERNAL_COLS), F.col("_ingest_seq")
+            ).alias("_w")
+            merged = (
+                current.unionByName(batch_rows)
+                .groupBy(*S.MERGE_KEYS)
+                .agg(winner)
+                .select(*S.MERGE_KEYS, "_w.*")
+                .withColumn("pbucket", F.col("bucket"))
+            )
+            # cluster rows by target partition before the dynamic-
+            # partition write: without this every shuffle partition
+            # writes a file into every bucket (tasks x buckets small
+            # files); with it each bucket gets contiguous writers.
+            n_out = max(1, min(len(affected), merged.sparkSession.sparkContext.defaultParallelism))
+            merged = merged.repartition(n_out, "pbucket")
+            snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
+            merged.write.mode("overwrite").partitionBy("pbucket").parquet(snap_dir)
 
-            buckets_map = dict(m["buckets"])
-            lineage = dict(m.get("lineage", {}))
-            for r in stats:
-                bk = str(int(r["bucket"]))
-                buckets_map[bk] = new_version
-                lineage[bk] = {
-                    "snapshot": new_version,
-                    "max_seq": int(r["max_seq"]),
-                    "log_file": r["max_pos"]["_log_file"],
-                    "log_pos": int(r["max_pos"]["_log_pos"]),
-                }
-            metrics = {
-                "batch_id": batch_id,
-                "skipped": False,
+        buckets_map = dict(m["buckets"])
+        lineage = dict(m.get("lineage", {}))
+        for r in stats:
+            bk = str(int(r["bucket"]))
+            buckets_map[bk] = new_version
+            lineage[bk] = {
                 "snapshot": new_version,
-                "buckets_rewritten": len(affected),
-                "buckets_total": self.n_buckets,
-                "rows_in_batch": int(sum(r["rows"] for r in stats)),
-                "deletes": int(sum(r["deletes"] for r in stats)),
-                "commit_secs": round(time.time() - t0, 3),
+                "max_seq": int(r["max_seq"]),
+                "log_file": r["max_pos"]["_log_file"],
+                "log_pos": int(r["max_pos"]["_log_pos"]),
             }
-            self._write_manifest(
-                {
-                    "version": new_version,
-                    "buckets": buckets_map,
-                    "committed_batches": m["committed_batches"] + [batch_id],
-                    "columns": all_cols,
-                    "lineage": lineage,
-                    "metrics": metrics,
-                }
-            )
-            return metrics
-        finally:
-            b.unpersist()
+        metrics = {
+            "batch_id": batch_id,
+            "skipped": False,
+            "snapshot": new_version,
+            "buckets_rewritten": len(affected),
+            "buckets_total": self.n_buckets,
+            "rows_in_batch": int(sum(r["rows"] for r in stats)),
+            "deletes": int(sum(r["deletes"] for r in stats)),
+            "commit_secs": round(time.time() - t0, 3),
+        }
+        self._write_manifest(
+            {
+                "version": new_version,
+                "buckets": buckets_map,
+                "committed_batches": m["committed_batches"] + [batch_id],
+                "columns": all_cols,
+                "lineage": lineage,
+                "metrics": metrics,
+            }
+        )
+        return metrics
+
+    def compact(self, spark: SparkSession, drop_tombstones: bool = True) -> dict[str, Any]:
+        """Rewrite every bucket into one fresh snapshot: merges the
+        per-bucket file sets accumulated by incremental commits and
+        (optionally) physically drops tombstone rows — safe once no
+        replay older than the current head can still arrive (the Iceberg
+        `expire_snapshots` + delete-file compaction analog)."""
+        m = self.latest_manifest()
+        if not m or not m.get("buckets"):
+            return {"skipped": True, "reason": "empty table"}
+        df = self._read_raw(spark)
+        if drop_tombstones:
+            df = df.filter(~F.col("_deleted"))
+        new_version = m["version"] + 1
+        snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
+        n_out = max(1, min(self.n_buckets, df.sparkSession.sparkContext.defaultParallelism))
+        df.withColumn("pbucket", F.col("bucket")).repartition(n_out, "pbucket").write.mode(
+            "overwrite"
+        ).partitionBy("pbucket").parquet(snap_dir)
+        buckets_map = {b: new_version for b in m["buckets"]}
+        self._write_manifest({**m, "version": new_version, "buckets": buckets_map})
+        return {"skipped": False, "snapshot": new_version}
 
     # -- verification helpers ---------------------------------------------------
 

@@ -21,16 +21,26 @@ from pyspark.sql import functions as F
 from bingo2sql_spark import schema as S
 
 
-def invert(events: DataFrame) -> DataFrame:
+def invert(events: DataFrame, rebase_offset: int | None = None) -> DataFrame:
     """Remap ops and swap row images; DDL is never emitted in flashback
-    mode (core/parser.go:2327 gate). `seq` is negated so that *ascending*
-    seq order on the result equals reverse binlog order — downstream
-    LWW/apply stages need no flashback-awareness at all."""
+    mode (core/parser.go:2327 gate).
+
+    seq mapping: seq' = rebase_offset - seq (or -seq when no offset), so
+    *ascending* seq' equals reverse binlog order — downstream LWW/apply
+    stages need no flashback-awareness.
+
+    rebase_offset models what actually happens when rollback SQL is
+    executed against the source: it becomes NEW log traffic at positions
+    past the current head. pipeline.replay passes
+    head_seq + max(batch seq) + 1 so the inverted events (a) stay
+    reverse-ordered among themselves and (b) supersede every event the
+    target has already absorbed under LWW-by-seq merge."""
     inv_op = (
         F.when(F.col("op") == S.OP_INSERT, F.lit(S.OP_DELETE))
         .when(F.col("op") == S.OP_DELETE, F.lit(S.OP_INSERT))
         .otherwise(F.lit(S.OP_UPDATE))
     )
+    new_seq = (F.lit(rebase_offset) - F.col("seq")) if rebase_offset is not None else -F.col("seq")
     return (
         events.filter(F.col("op") != S.OP_DDL)
         .withColumn("_b", F.col("before"))
@@ -38,5 +48,5 @@ def invert(events: DataFrame) -> DataFrame:
         .withColumn("after", F.col("_b"))
         .drop("_b")
         .withColumn("op", inv_op)
-        .withColumn("seq", -F.col("seq"))
+        .withColumn("seq", new_seq)
     )

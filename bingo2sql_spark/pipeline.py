@@ -36,10 +36,13 @@ def replay(
     ev = FL.apply_filters(events, flashback=flashback, **filter_kwargs)
     ev = ev.filter(F.col("op") != S.OP_DDL)
     if flashback:
-        ev = FB.invert(ev)
+        # rollback becomes NEW log traffic past the head (see flashback.py)
+        batch_max = ev.agg(F.max("seq")).collect()[0][0] or 0
+        ev = FB.invert(ev, rebase_offset=table.head_seq() + batch_max + 1)
     ev = R.with_key(ev)
     if repartition:
         ev = R.salted_repartition(ev, repartition)
-    resolved = R.lww_resolve(ev)
-    batch = R.to_upsert_rows(resolved, schema_ver=schema_ver)
+    # no pre-resolve pass: IcebergLiteTable.commit's merge groupBy IS the
+    # per-key LWW (one shuffle instead of two)
+    batch = R.to_upsert_rows(ev, schema_ver=schema_ver)
     return table.commit(batch, batch_id)

@@ -1,0 +1,97 @@
+"""S2/T7/T10 — decode raw wire events into the typed envelope.
+
+The reference decodes binlog bytes row-at-a-time in Go
+(parserFile core/parseFile.go:16-179; value handling
+core/parser.go:1322-1360,1736-1874). Here the landing format is columnar
+(scalar header columns + JSON-serialized row images, schema.RAW_EVENT)
+and decoding is batched:
+
+- `decode_events` (default): `from_json` — JVM-side, whole-stage
+  codegen, schema from the registry. This is the hot path.
+- `decode_events_arrow`: `mapInPandas` over Arrow batches — the
+  extension point for codecs Spark cannot express (MySQL unsigned
+  reinterpretation, zero-date sentinels, ENUM/SET/BIT ints, JSON v1/v2
+  binary). Never splits an event across batches (each row is one event;
+  the reference's update before/after pairing, core/parser.go:1414, is
+  already materialized into the two image columns upstream).
+
+Schema evolution (T10 upgraded): the decoder resolves each event's
+schema_ver against the registry; columns absent in that version decode
+as NULL (added-column NULL-fill), columns dropped from the target
+version are projected away — instead of the reference's blacklist-and-
+skip (checkCanParse core/parser.go:1242-1253).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bingo2sql_spark import schema as S
+
+_HEADER = [
+    "seq", "log_file", "log_pos", "gtid_uuid", "gno", "ts",
+    "thread_id", "db", "table", "op",
+]
+
+
+def decode_events(raw: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -> DataFrame:
+    """JVM decode: JSON images -> typed structs of the requested schema
+    version (missing fields -> NULL, extra fields ignored = dropped)."""
+    payload = S.payload_schema(schema_ver)
+    return raw.select(
+        *_HEADER,
+        F.from_json("before_json", payload).alias("before"),
+        F.from_json("after_json", payload).alias("after"),
+        "changed_cols",
+        "schema_ver",
+    )
+
+
+def unsigned_fixup(s: pd.Series, bits: int) -> pd.Series:
+    """T7 — two's-complement reinterpretation for unsigned columns that
+    a signed decoder mangled (processValue core/parser.go:1322-1360:
+    negative raw value -> 1<<bits + v). Vectorized pandas."""
+    out = s.astype("float64")
+    neg = out < 0
+    out[neg] = out[neg] + float(1 << bits)
+    return out.astype("int64")
+
+
+ZERO_DATE = "0000-00-00 00:00:00"
+
+
+def decode_events_arrow(raw: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -> DataFrame:
+    """Arrow decode: same output as decode_events, built in pandas.
+    This is where per-type codecs plug in (unsigned_fixup, zero-date
+    sentinels, ENUM/SET ints — cf. core/parser.go:1768-1858)."""
+    payload = S.payload_schema(schema_ver)
+    fields = [f.name for f in payload.fields]
+    out_schema = S.envelope_schema(schema_ver)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+
+            def parse(col: pd.Series) -> pd.Series:
+                def one(x):
+                    if x is None or (isinstance(x, float) and pd.isna(x)):
+                        return None
+                    d = json.loads(x)
+                    return {k: d.get(k) for k in fields}  # NULL-fill + drop
+
+                return col.map(one)
+
+            res = pdf[_HEADER].copy()
+            res["before"] = parse(pdf["before_json"])
+            res["after"] = parse(pdf["after_json"])
+            res["changed_cols"] = pdf["changed_cols"]
+            res["schema_ver"] = pdf["schema_ver"]
+            yield res
+
+    return raw.mapInPandas(gen, schema=out_schema)

@@ -1,0 +1,94 @@
+"""Structured Streaming ingest: binlog tail -> micro-batch MERGE.
+
+Reference parity: the continuous remote tail (`--stop-never`, BinlogSyncer
+loop core/parser.go:415-481) becomes `readStream` over the event log
+directory; per-event gates stay Column predicates on the stream; each
+micro-batch goes through the same LWW + MERGE as batch replay inside
+`foreachBatch` (the channel-to-single-writer funnel, core/parser.go:844-857,
+replaced by an idempotent table commit).
+
+Exactly-once: Spark's checkpoint gives at-least-once batch re-delivery
+with STABLE batch ids; IcebergLiteTable.commit skips batch ids it has
+already applied -> end-to-end exactly-once. Killing the query at any
+point and restarting from the checkpoint converges to the identical
+final state (north rule), which tests/test_streaming.py proves.
+
+Metrics: one JSON line per micro-batch appended to <table>/_metrics.jsonl
+(the reference's 5-second websocket progress push, core/socket.go:34-76).
+Lineage: per-bucket max (log_file, log_pos) -> snapshot recorded in the
+commit manifest (apply.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from bingo2sql_spark import schema as S
+from bingo2sql_spark.operators import filters as FL
+from bingo2sql_spark.operators import resolve as R
+from bingo2sql_spark.operators.apply import IcebergLiteTable
+
+
+def stream_events(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1 — the remote-tail analog: a file-based event stream in strict
+    log order (file-order = event-order). On a cluster this is the same
+    code over a Kafka/object-store landing zone."""
+    reader = spark.readStream.schema(S.ENVELOPE)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
+def start_ingest(
+    spark: SparkSession,
+    events_dir: str,
+    table: IcebergLiteTable,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    schema_ver: int = S.LATEST_SCHEMA_VER,
+    **filter_kwargs: Any,
+) -> StreamingQuery:
+    """Launch the ingest query. availableNow=True drains the current
+    backlog then stops (the reference's stop-at-master-status,
+    core/parser.go:552-563); False tails continuously (--stop-never)."""
+    stream = stream_events(spark, events_dir, max_files_per_trigger)
+    stream = FL.apply_filters(stream, **filter_kwargs)
+    stream = stream.filter(F.col("op") != S.OP_DDL)
+    metrics_path = os.path.join(table.path, "_metrics.jsonl")
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # LWW happens inside the table's merge groupBy (apply.py)
+        upserts = R.to_upsert_rows(R.with_key(batch_df), schema_ver=schema_ver)
+        m = table.commit(upserts, batch_id=f"stream-{epoch_id}")
+        m["epoch_id"] = epoch_id
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps(m) + "\n")
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_metrics(table: IcebergLiteTable) -> list[dict[str, Any]]:
+    p = os.path.join(table.path, "_metrics.jsonl")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]

@@ -1,0 +1,170 @@
+"""Unit tests: decode (JVM vs Arrow differential), render golden shapes
+(mirroring reference parser_test.go cases), minimal row image, stats,
+multimodal plumbing, compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bingo2sql_spark.operators import stats as ST
+from bingo2sql_spark.sources.decode import decode_events, decode_events_arrow, unsigned_fixup
+from bingo2sql_spark.sources.synth import generate_events, to_raw
+
+
+def test_decode_jvm_equals_arrow_equals_original(spark, small_events):
+    """to_raw -> decode roundtrip preserves the envelope; JVM and Arrow
+    decoders agree (the reference's remote-vs-local differential,
+    core/parser_test.go:434-453)."""
+    raw = to_raw(small_events)
+    via_jvm = decode_events(raw)
+    via_arrow = decode_events_arrow(raw)
+
+    def digest(df):
+        return sorted(
+            df.select(
+                "seq",
+                F.sha2(F.coalesce(F.to_json("before"), F.lit("")), 256).alias("b"),
+                F.sha2(F.coalesce(F.to_json("after"), F.lit("")), 256).alias("a"),
+            ).collect()
+        )
+
+    d0 = digest(small_events.select("seq", "before", "after"))
+    assert digest(via_jvm) == d0
+    assert digest(via_arrow) == d0
+
+
+def test_decode_schema_evolution_null_fill(spark, small_events):
+    """Decoding v2 raw data against the v1 registry drops `branch`;
+    decoding v1 data against v2 NULL-fills it (T10 upgraded)."""
+    raw = to_raw(small_events)
+    v1 = decode_events(raw, schema_ver=1)
+    assert "branch" not in [f.name for f in v1.schema["after"].dataType.fields]
+    v2 = decode_events(raw.filter("schema_ver = 1"), schema_ver=2)
+    assert v2.filter("after is not null and after.branch is not null").count() == 0
+
+
+def test_unsigned_fixup():
+    import pandas as pd
+
+    s = pd.Series([-1, -128, 5, 0], dtype="int64")
+    assert list(unsigned_fixup(s, 8)) == [255, 128, 5, 0]
+    s2 = pd.Series([-1], dtype="int64")
+    assert list(unsigned_fixup(s2, 32)) == [4294967295]
+
+
+def test_render_golden_shapes(spark, small_events):
+    """Golden statement shapes mirroring the reference's expectations
+    (multi-column INSERT core/parser_test.go:538, minimal UPDATE
+    core/parser_test.go:770-784, DELETE WHERE on keys)."""
+    from bingo2sql_spark.functions.render import render_sql
+
+    one_ins = (
+        render_sql(small_events.filter("op = 'insert' and seq = 0"))
+        .collect()[0]["sql"]
+    )
+    assert one_ins.startswith(
+        "INSERT INTO `test`.`repo_files`(`repo`,`path`,`commit`,`lang`,`content`,`branch`) VALUES("
+    )
+    assert one_ins.endswith(");") and ",NULL)" in one_ins  # v1 insert: branch NULL
+
+    upd = small_events.filter("op = 'update'").limit(1)
+    sql = render_sql(upd).collect()[0]["sql"]
+    assert sql.startswith("UPDATE `test`.`repo_files` SET ")
+    assert " WHERE `repo`='" in sql and "` AND `path`='" not in sql  # keys quoted individually
+    assert "AND `path`='" in sql
+    # minimal mode: unchanged key columns never appear in SET
+    assert "`repo`=" not in sql.split(" WHERE ")[0].replace("SET `repo`", "")
+
+    dele = render_sql(small_events.filter("op = 'delete'").limit(1)).collect()[0]["sql"]
+    assert dele.startswith("DELETE FROM `test`.`repo_files` WHERE `repo`='")
+
+
+def test_render_arrow_matches_expr(spark, small_events):
+    """Vectorized pandas renderer == column-expression renderer."""
+    from bingo2sql_spark.functions.render import render_sql, render_sql_arrow
+
+    sample = small_events.filter("seq % 7 = 0")
+    a = {r["seq"]: r["sql"] for r in render_sql(sample).select("seq", "sql").collect()}
+    b = {r["seq"]: r["sql"] for r in render_sql_arrow(sample).collect()}
+    assert a == b
+
+
+def test_render_escaping(spark):
+    """Backslash/quote escaping (escapeBytesBackslash
+    core/parser.go:1894-1935)."""
+    from bingo2sql_spark.functions.render import render_sql
+
+    from bingo2sql_spark import schema as S
+
+    from datetime import datetime
+
+    env = spark.createDataFrame(
+        [
+            (
+                1, "bin.1", 4, "u", 1, datetime(2024, 1, 1), 1, "test", "repo_files", "insert",
+                None,
+                ("r'1", "a\\b", "c1", "go", "x'y\\z\nq", None),
+                None, 1,
+            )
+        ],
+        S.envelope_schema(),
+    )
+    sql = render_sql(env).collect()[0]["sql"]
+    assert "'r\\'1'" in sql
+    assert "'a\\\\b'" in sql
+    assert "x\\'y\\\\z\\nq" in sql
+
+
+def test_minimal_row_image_changed_cols(spark):
+    """MINIMAL image events carry only keys + changed cols in before
+    (core/parser_test.go:727-755); changed_cols mask is set."""
+    ev = generate_events(spark, n_keys=50, versions_per_key=6, minimal_image=True)
+    upd = ev.filter("op = 'update'")
+    assert upd.filter("changed_cols is null").count() == 0
+    assert upd.filter("before.commit is not null").count() == 0
+    assert upd.filter(~F.array_contains("changed_cols", "lang") & F.col("before.lang").isNotNull()).count() == 0
+    # content always changes -> always present in the minimal image
+    assert upd.filter("before.content is null").count() == 0
+
+
+def test_stats_and_progress(spark, small_events):
+    s = ST.table_stats(small_events).collect()
+    assert {r["table"] for r in s} == {"repo_files", "audit_log"}
+    for r in s:
+        assert r["inserts"] + r["updates"] + r["deletes"] == r["total"]
+    # reference TestComputePercent analog (core/parser_test.go:1232-1308)
+    assert ST.compute_percent([100, 100], 0, 50) == 25.0
+    assert ST.compute_percent([100, 100], 1, 100) == 100.0
+    assert ST.compute_percent([], 0, 0) == 0.0
+    assert ST.progress_percent(50, 100) == 50
+    assert ST.progress_percent(1000, 100) == 99
+
+
+def test_multimodal_plumbing(spark):
+    from bingo2sql_spark.operators.multimodal import extract_features, synth_media
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synth_media(docs)
+    feats = extract_features(media)
+    rows = feats.limit(5).collect()
+    assert all(len(r["features"]) == 8 for r in rows)
+    assert feats.count() == docs.count()
+    # deterministic: same input -> same features
+    again = {r["media_id"]: r["features"] for r in extract_features(media).limit(5).collect()}
+    first = {r["media_id"]: r["features"] for r in rows}
+    assert first == {k: again[k] for k in first}
+
+
+def test_compact_drops_tombstones(spark, small_events, tmp_path):
+    from bingo2sql_spark.operators.apply import IcebergLiteTable
+    from bingo2sql_spark.pipeline import replay
+
+    t = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    replay(small_events, t, batch_id="b1")
+    raw = t._read_raw(spark)
+    n_tomb = raw.filter("_deleted").count()
+    assert n_tomb > 0
+    live_before = t.state_checksum(spark)
+    t.compact(spark)
+    assert t._read_raw(spark).filter("_deleted").count() == 0
+    assert t.state_checksum(spark) == live_before

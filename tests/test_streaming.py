@@ -1,0 +1,81 @@
+"""Structured Streaming ingest: checkpoint resume, exactly-once commits,
+per-micro-batch metrics, lineage."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from bingo2sql_spark import oracle
+from bingo2sql_spark.operators.apply import IcebergLiteTable
+from bingo2sql_spark.streaming.pipeline import read_metrics, start_ingest
+
+
+def _write_ordered(events, path, n_files=8):
+    (
+        events.repartitionByRange(n_files, "seq")
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def test_stream_ingest_and_checkpoint_resume(spark, small_events, tmp_path):
+    """Phase 1: stream the first half of the log (availableNow drains it,
+    checkpoint persists). Phase 2: append the second half, restart from
+    the same checkpoint. Final state must equal the sequential oracle of
+    the FULL log — replay from a checkpoint converges (north rule)."""
+    pdf = small_events.select("seq", "op", "before", "after").toPandas()
+    cut = int(pdf["seq"].max()) // 2
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    _write_ordered(small_events.filter(f"seq <= {cut}"), str(tmp_path / "half1"))
+    for f in os.listdir(str(tmp_path / "half1")):
+        if f.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "half1" / f), os.path.join(land, f"a-{f}"))
+
+    table = IcebergLiteTable(str(tmp_path / "target"), n_buckets=8)
+    q = start_ingest(spark, land, table, ckpt, max_files_per_trigger=3)
+    q.awaitTermination(120)
+
+    half_state = oracle.state_checksum(oracle.sequential_apply(pdf[pdf["seq"] <= cut]))
+    assert table.state_checksum(spark) == half_state
+    n_batches_phase1 = len(read_metrics(table))
+    assert n_batches_phase1 >= 2  # maxFilesPerTrigger forced multiple micro-batches
+
+    # phase 2: second half arrives; resume from the same checkpoint
+    _write_ordered(small_events.filter(f"seq > {cut}"), str(tmp_path / "half2"))
+    for f in os.listdir(str(tmp_path / "half2")):
+        if f.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "half2" / f), os.path.join(land, f"b-{f}"))
+    q2 = start_ingest(spark, land, table, ckpt, max_files_per_trigger=3)
+    q2.awaitTermination(120)
+
+    full_state = oracle.state_checksum(oracle.sequential_apply(pdf))
+    assert table.state_checksum(spark) == full_state
+
+    # metrics were emitted per micro-batch; lineage maps buckets->snapshots
+    metrics = read_metrics(table)
+    assert len(metrics) > n_batches_phase1
+    assert all("rows_in_batch" in m for m in metrics if not m.get("skipped"))
+    man = table.latest_manifest()
+    assert man["lineage"] and all("log_pos" in v for v in man["lineage"].values())
+    assert len(man["committed_batches"]) == len([m for m in metrics if not m.get("skipped")])
+
+
+def test_stream_restart_noop_when_drained(spark, small_events, tmp_path):
+    """Restarting a drained stream commits nothing new (exactly-once)."""
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_ordered(small_events, land, n_files=4)
+    table = IcebergLiteTable(str(tmp_path / "target"), n_buckets=8)
+    q = start_ingest(spark, land, table, ckpt)
+    q.awaitTermination(120)
+    v1 = table.latest_manifest()["version"]
+    chk = table.state_checksum(spark)
+    q2 = start_ingest(spark, land, table, ckpt)
+    q2.awaitTermination(120)
+    assert table.latest_manifest()["version"] == v1
+    assert table.state_checksum(spark) == chk
