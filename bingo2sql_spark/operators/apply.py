@@ -60,7 +60,10 @@ from bingo2sql_spark import schema as S
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
-INTERNAL_COLS = ("_ingest_seq", "_deleted", "bucket")
+#: per-row provenance is stored in the table: the writer's log seq and
+#: source binlog position (per-partition lineage falls out of parquet
+#: column stats over these — no extra pass).
+INTERNAL_COLS = ("_ingest_seq", "_deleted", "_log_file", "_log_pos", "bucket")
 
 
 def bucket_col(n_buckets: int):
@@ -104,6 +107,8 @@ class IcebergLiteTable:
         fields += [
             T.StructField("_ingest_seq", T.LongType(), True),
             T.StructField("_deleted", T.BooleanType(), True),
+            T.StructField("_log_file", T.StringType(), True),
+            T.StructField("_log_pos", T.LongType(), True),
             T.StructField("bucket", T.IntegerType(), True),
         ]
         return spark.createDataFrame([], T.StructType(fields))
@@ -137,8 +142,9 @@ class IcebergLiteTable:
         """Current live table state (tombstones filtered, internal
         columns hidden except bucket)."""
         df = self._read_raw(spark, buckets)
+        hidden = {"_ingest_seq", "_deleted", "_log_file", "_log_pos"}
         return df.filter(~F.col("_deleted")).select(
-            *[c for c in df.columns if c not in ("_ingest_seq", "_deleted")]
+            *[c for c in df.columns if c not in hidden]
         )
 
     def head_seq(self) -> int:
@@ -147,7 +153,8 @@ class IcebergLiteTable:
         m = self.latest_manifest()
         if not m or not m.get("lineage"):
             return 0
-        return max(int(v["max_seq"]) for v in m["lineage"].values())
+        seqs = [int(v["max_seq"]) for v in m["lineage"].values() if v.get("max_seq") is not None]
+        return max(seqs) if seqs else 0
 
     # -- write path --------------------------------------------------------------
 
@@ -161,14 +168,19 @@ class IcebergLiteTable:
         is needed. Returns per-batch metrics (the reference's websocket
         progress push analog, core/socket.go:34-76).
 
-        Plan shape (the whole commit is 2 jobs, 3 exchanges):
-          job 1: batch projection (bucket, seq, pos) -> groupBy bucket
-                 (map-side combined) -> collect: affected buckets,
-                 lineage, counts.
-          job 2: (stored-rows-of-affected-buckets ∪ batch)
+        Plan shape — ONE merge job, plus (only when the table is
+        non-empty, where bucket pruning pays) a narrow pre-pass:
+          pre-pass (pruning, table non-empty): batch projection (bucket,
+                 seq, deleted) -> groupBy bucket (map-side combined) ->
+                 collect -> affected buckets + exact batch counts.
+          merge job: (stored-rows-of-affected-buckets ∪ batch)
                  -> groupBy(key).max_by(row, seq)    [the MERGE]
                  -> repartition(pbucket)             [write clustering]
-                 -> parquet.
+                 -> parquet; batch metrics ride along via Observation.
+        Per-bucket lineage (max absorbed seq / log position -> snapshot)
+        is read from the written files' parquet column statistics —
+        sound because binlog order is monotone in (log_file, log_pos) —
+        so the initial-load path never scans the batch twice.
         """
         t0 = time.time()
         spark = batch.sparkSession
@@ -188,20 +200,36 @@ class IcebergLiteTable:
         b = batch.withColumn("bucket", bucket_col(self.n_buckets)).withColumnRenamed(
             "_seq", "_ingest_seq"
         )
-        # job 1 — narrow projection only (no payload): affected buckets,
-        # lineage, counts. Map-side combine makes this a tiny shuffle.
-        stats = (
-            b.select("bucket", "_ingest_seq", "_deleted", "_log_file", "_log_pos")
-            .groupBy("bucket")
-            .agg(
-                F.max("_ingest_seq").alias("max_seq"),
-                F.max(F.struct("_log_file", "_log_pos")).alias("max_pos"),
-                F.sum(F.col("_deleted").cast("int")).alias("deletes"),
-                F.count("*").alias("rows"),
+        do_prune = bool(m["buckets"])
+        batch_counts: dict[str, int] | None = None
+        observation = None
+        if do_prune:
+            # narrow pre-pass (no payload columns; from_json sources prune
+            # to just the key fields): affected buckets + exact counts
+            stats = (
+                b.select("bucket", "_ingest_seq", "_deleted")
+                .groupBy("bucket")
+                .agg(
+                    F.sum(F.col("_deleted").cast("int")).alias("deletes"),
+                    F.count("*").alias("rows"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        affected = sorted(int(r["bucket"]) for r in stats)
+            affected = sorted(int(r["bucket"]) for r in stats)
+            batch_counts = {
+                "rows": int(sum(r["rows"] for r in stats)),
+                "deletes": int(sum(r["deletes"] for r in stats)),
+            }
+        else:
+            affected = list(range(self.n_buckets))  # empty table: nothing to prune
+            from pyspark.sql import Observation
+
+            observation = Observation(f"commit-{batch_id}")
+            b = b.observe(
+                observation,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("_deleted").cast("int")).alias("deletes"),
+            )
         new_version = m["version"] + 1
 
         if affected:
@@ -223,16 +251,54 @@ class IcebergLiteTable:
             # Tombstones stay as rows so older replays cannot resurrect
             # deleted keys.
             data_cols = [c for c in all_cols if c not in S.MERGE_KEYS]
-            winner = F.max_by(
-                F.struct(*data_cols, *INTERNAL_COLS), F.col("_ingest_seq")
-            ).alias("_w")
-            merged = (
-                current.unionByName(batch_rows)
-                .groupBy(*S.MERGE_KEYS)
-                .agg(winner)
-                .select(*S.MERGE_KEYS, "_w.*")
-                .withColumn("pbucket", F.col("bucket"))
-            )
+            partial = "_changed_cols" in batch.columns
+            if not partial:
+                winner = F.max_by(
+                    F.struct(*data_cols, *INTERNAL_COLS), F.col("_ingest_seq")
+                ).alias("_w")
+                merged = (
+                    current.unionByName(batch_rows)
+                    .groupBy(*S.MERGE_KEYS)
+                    .agg(winner)
+                    .select(*S.MERGE_KEYS, "_w.*")
+                )
+            else:
+                # MINIMAL row-image path: per-COLUMN last-present-writer.
+                # Stored rows act as full-image pseudo-events; an update
+                # contributes only its changed columns; insert images are
+                # complete, so pre-delete values can never leak (see
+                # resolve.to_upsert_rows_partial docstring).
+                cur = current.withColumn("_changed_cols", F.lit(None).cast("array<string>"))
+                both = cur.unionByName(
+                    b.select(
+                        *[
+                            F.col(c) if c in b.columns else F.lit(None).cast("string").alias(c)
+                            for c in all_cols
+                        ],
+                        *INTERNAL_COLS,
+                        "_changed_cols",
+                    )
+                )
+                seq = F.col("_ingest_seq")
+                aggs = [F.max_by(F.struct(*INTERNAL_COLS), seq).alias("_w")]
+                for c in data_cols:
+                    present = ~F.col("_deleted") & (
+                        F.col("_changed_cols").isNull()
+                        | F.array_contains(F.col("_changed_cols"), c)
+                    )
+                    aggs.append(
+                        F.max(F.when(present, F.struct(seq.alias("s"), F.col(c).alias("v"))))[
+                            "v"
+                        ].alias(c)
+                    )
+                merged = (
+                    both.groupBy(*S.MERGE_KEYS)
+                    .agg(*aggs)
+                    .select(*S.MERGE_KEYS, *data_cols, "_w.*")
+                    .drop("_w")
+                )
+                merged = merged.select(*all_cols, *INTERNAL_COLS)
+            merged = merged.withColumn("pbucket", F.col("bucket"))
             # cluster rows by target partition before the dynamic-
             # partition write: without this every shuffle partition
             # writes a file into every bucket (tasks x buckets small
@@ -241,26 +307,27 @@ class IcebergLiteTable:
             merged = merged.repartition(n_out, "pbucket")
             snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
             merged.write.mode("overwrite").partitionBy("pbucket").parquet(snap_dir)
+            written = self._bucket_footer_stats(snap_dir)
+        else:
+            written = {}
+
+        if observation is not None:
+            got = observation.get if written else {"rows": 0, "deletes": 0}
+            batch_counts = {"rows": int(got["rows"] or 0), "deletes": int(got["deletes"] or 0)}
 
         buckets_map = dict(m["buckets"])
         lineage = dict(m.get("lineage", {}))
-        for r in stats:
-            bk = str(int(r["bucket"]))
+        for bk, st in written.items():
             buckets_map[bk] = new_version
-            lineage[bk] = {
-                "snapshot": new_version,
-                "max_seq": int(r["max_seq"]),
-                "log_file": r["max_pos"]["_log_file"],
-                "log_pos": int(r["max_pos"]["_log_pos"]),
-            }
+            lineage[bk] = {"snapshot": new_version, **st}
         metrics = {
             "batch_id": batch_id,
             "skipped": False,
             "snapshot": new_version,
-            "buckets_rewritten": len(affected),
+            "buckets_rewritten": len(written),
             "buckets_total": self.n_buckets,
-            "rows_in_batch": int(sum(r["rows"] for r in stats)),
-            "deletes": int(sum(r["deletes"] for r in stats)),
+            "rows_in_batch": batch_counts["rows"],
+            "deletes": batch_counts["deletes"],
             "commit_secs": round(time.time() - t0, 3),
         }
         self._write_manifest(
@@ -296,6 +363,54 @@ class IcebergLiteTable:
         buckets_map = {b: new_version for b in m["buckets"]}
         self._write_manifest({**m, "version": new_version, "buckets": buckets_map})
         return {"skipped": False, "snapshot": new_version}
+
+    def _bucket_footer_stats(self, snap_dir: str) -> dict[str, dict[str, Any]]:
+        """Per-bucket lineage from parquet COLUMN STATISTICS (no data
+        read): max absorbed `_ingest_seq` and source log position.
+        Using per-column maxima is sound because the binlog order is
+        monotone in (log_file, log_pos) and seq is its flattening."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, Any]] = {}
+        for d in sorted(os.listdir(snap_dir)):
+            if not d.startswith("pbucket="):
+                continue
+            bk = d.split("=", 1)[1]
+            max_seq, max_file, max_pos, rows = None, None, None, 0
+            bdir = os.path.join(snap_dir, d)
+            for fn in os.listdir(bdir):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(bdir, fn)).metadata
+                rows += md.num_rows
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+
+                    def stat_max(col: str):
+                        s = g.column(idx[col]).statistics
+                        return s.max if s is not None and s.has_min_max else None
+
+                    for col, cur in (("_ingest_seq", max_seq), ("_log_file", max_file), ("_log_pos", max_pos)):
+                        v = stat_max(col)
+                        if v is None:
+                            continue
+                        if isinstance(v, bytes):
+                            v = v.decode("utf-8", "replace")
+                        if col == "_ingest_seq":
+                            max_seq = v if max_seq is None else max(max_seq, v)
+                        elif col == "_log_file":
+                            max_file = v if max_file is None else max(max_file, v)
+                        else:
+                            max_pos = v if max_pos is None else max(max_pos, v)
+            if rows:
+                out[bk] = {
+                    "max_seq": int(max_seq) if max_seq is not None else None,
+                    "log_file": max_file,
+                    "log_pos": int(max_pos) if max_pos is not None else None,
+                    "rows": rows,
+                }
+        return out
 
     # -- verification helpers ---------------------------------------------------
 

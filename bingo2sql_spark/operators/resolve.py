@@ -82,11 +82,31 @@ def lww_resolve(events: DataFrame, dedup_replay: bool = False) -> DataFrame:
     )
 
 
-def to_upsert_rows(resolved: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -> DataFrame:
-    """Project LWW winners to MERGE source rows: one row per key with
-    `_deleted` marking tombstones. Schema evolution: payload columns of
-    the requested version; columns absent in older events surface as
-    NULL (added-column NULL-fill), dropped columns are projected away."""
+def to_upsert_rows_partial(events: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -> DataFrame:
+    """MINIMAL row-image upsert projection (binlog_row_image=MINIMAL,
+    core/parser_test.go:727-755): update images carry only the merge
+    keys + changed columns; `changed_cols` lists them (NULL = full
+    image). Unchanged columns must NOT clobber stored values, so rows
+    keep `_changed_cols` and IcebergLiteTable.commit switches to its
+    columnar-LWW merge path.
+
+    Correctness note (why one pass suffices): INSERT images are always
+    complete, and a re-insert after DELETE therefore re-supplies every
+    column at a seq above the delete — so per-column last-present-writer
+    can never leak a pre-delete value into a live row."""
+    mask = F.when(F.col("op") == S.OP_UPDATE, F.col("changed_cols")).cast("array<string>")
+    return to_upsert_rows(events, schema_ver, extra=[mask.alias("_changed_cols")])
+
+
+def to_upsert_rows(
+    resolved: DataFrame,
+    schema_ver: int = S.LATEST_SCHEMA_VER,
+    extra: list | None = None,
+) -> DataFrame:
+    """Project events/LWW winners to MERGE source rows with `_deleted`
+    tombstone flags. Schema evolution: payload columns of the requested
+    version; columns absent in older events surface as NULL
+    (added-column NULL-fill), dropped columns are projected away."""
     cols = S.payload_columns(schema_ver)
     proj = [F.col(k) for k in S.MERGE_KEYS]
     for c in cols:
@@ -97,4 +117,4 @@ def to_upsert_rows(resolved: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -
     proj.append(F.col("seq").alias("_seq"))
     proj.append(F.col("log_file").alias("_log_file"))
     proj.append(F.col("log_pos").alias("_log_pos"))
-    return resolved.select(*proj)
+    return resolved.select(*proj, *(extra or []))

@@ -17,9 +17,12 @@ import pandas as pd
 
 def sequential_apply(events: pd.DataFrame, initial: dict | None = None) -> dict:
     """Apply envelope events (pandas; columns seq/op/before/after as
-    dicts) in ascending seq order. Returns {(repo, path): row_dict}."""
+    dicts, optional changed_cols) in ascending seq order. MINIMAL-image
+    updates (changed_cols set) merge only keys + changed columns into
+    the existing row. Returns {(repo, path): row_dict}."""
     state: dict = dict(initial or {})
     ev = events.sort_values("seq")
+    has_changed = "changed_cols" in ev.columns
     for _, e in ev.iterrows():
         op = e["op"]
         if op == "ddl":
@@ -32,8 +35,13 @@ def sequential_apply(events: pd.DataFrame, initial: dict | None = None) -> dict:
         key = (img["repo"], img["path"])
         if op == "delete":
             state.pop(key, None)
+        elif op == "update" and has_changed and e["changed_cols"] is not None:
+            changed = set(e["changed_cols"]) | {"repo", "path"}
+            row = dict(state.get(key, {}))
+            row.update({c: v for c, v in dict(img).items() if c in changed})
+            state[key] = row
         else:
-            state[key] = img
+            state[key] = dict(img)
     return state
 
 

@@ -28,6 +28,7 @@ def replay(
     flashback: bool = False,
     schema_ver: int = S.LATEST_SCHEMA_VER,
     repartition: int | None = None,
+    row_image: str = "FULL",
     **filter_kwargs: Any,
 ) -> dict[str, Any]:
     """Replay a set of change events into the target table. Returns the
@@ -44,5 +45,8 @@ def replay(
         ev = R.salted_repartition(ev, repartition)
     # no pre-resolve pass: IcebergLiteTable.commit's merge groupBy IS the
     # per-key LWW (one shuffle instead of two)
-    batch = R.to_upsert_rows(ev, schema_ver=schema_ver)
+    if row_image == "MINIMAL":
+        batch = R.to_upsert_rows_partial(ev, schema_ver=schema_ver)
+    else:
+        batch = R.to_upsert_rows(ev, schema_ver=schema_ver)
     return table.commit(batch, batch_id)

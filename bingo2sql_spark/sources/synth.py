@@ -165,28 +165,37 @@ def generate_events(
     after = F.when(op == S.OP_DELETE, null_img).otherwise(after_img)
 
     # --- changed-cols mask (MINIMAL row image, core/parser_test.go:727-755)
+    # commit & content change on every update; lang occasionally; branch
+    # on every v2 update (it is re-rolled per version)
     lang_changed = _lang(k, vv, seed) != _lang(k, vv - 1, seed)
-    changed = F.when(
-        op == S.OP_UPDATE,
-        F.when(lang_changed, F.array(F.lit("lang"), F.lit("content"))).otherwise(
-            F.array(F.lit("content"))
-        ),
-    ).otherwise(F.lit(None).cast("array<string>"))
+    base_changed = F.when(
+        lang_changed, F.array(F.lit("commit"), F.lit("lang"), F.lit("content"))
+    ).otherwise(F.array(F.lit("commit"), F.lit("content")))
+    base_changed = F.when(
+        is_v2, F.concat(base_changed, F.array(F.lit("branch")))
+    ).otherwise(base_changed)
+    changed = F.when(op == S.OP_UPDATE, base_changed).otherwise(
+        F.lit(None).cast("array<string>")
+    )
 
     if minimal_image:
-        # blank out un-changed non-key columns in the before image
-        keep_lang = F.array_contains(F.coalesce(changed, F.array()), "lang")
-        before = F.when(
-            op == S.OP_UPDATE,
-            F.struct(
-                before_img["repo"].alias("repo"),
-                before_img["path"].alias("path"),
-                F.lit(None).cast("string").alias("commit"),
-                F.when(keep_lang, before_img["lang"]).cast("string").alias("lang"),
-                before_img["content"].alias("content"),
-                F.lit(None).cast("string").alias("branch"),
-            ),
-        ).otherwise(before)
+        # MINIMAL row image: update images carry only keys + changed
+        # columns (both before AND after), like binlog_row_image=MINIMAL
+        def minimal(img):
+            def keep(c):
+                return F.when(F.array_contains(changed, c), img[c]).cast("string").alias(c)
+
+            return F.struct(
+                img["repo"].alias("repo"),
+                img["path"].alias("path"),
+                keep("commit"),
+                keep("lang"),
+                keep("content"),
+                keep("branch"),
+            )
+
+        before = F.when(op == S.OP_UPDATE, minimal(before_img)).otherwise(before)
+        after = F.when(op == S.OP_UPDATE, minimal(after_img)).otherwise(after)
 
     # --- envelope header ----------------------------------------------------
     db = F.when(_h("tbl", k, seed=seed) % other_table_mod == 0, F.lit("meta")).otherwise(

@@ -58,6 +58,7 @@ def start_ingest(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     schema_ver: int = S.LATEST_SCHEMA_VER,
+    row_image: str = "FULL",
     **filter_kwargs: Any,
 ) -> StreamingQuery:
     """Launch the ingest query. availableNow=True drains the current
@@ -70,7 +71,11 @@ def start_ingest(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # LWW happens inside the table's merge groupBy (apply.py)
-        upserts = R.to_upsert_rows(R.with_key(batch_df), schema_ver=schema_ver)
+        keyed = R.with_key(batch_df)
+        if row_image == "MINIMAL":
+            upserts = R.to_upsert_rows_partial(keyed, schema_ver=schema_ver)
+        else:
+            upserts = R.to_upsert_rows(keyed, schema_ver=schema_ver)
         m = table.commit(upserts, batch_id=f"stream-{epoch_id}")
         m["epoch_id"] = epoch_id
         with open(metrics_path, "a") as f:

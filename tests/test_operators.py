@@ -121,10 +121,12 @@ def test_minimal_row_image_changed_cols(spark):
     ev = generate_events(spark, n_keys=50, versions_per_key=6, minimal_image=True)
     upd = ev.filter("op = 'update'")
     assert upd.filter("changed_cols is null").count() == 0
-    assert upd.filter("before.commit is not null").count() == 0
+    # unchanged columns are blanked in BOTH images
     assert upd.filter(~F.array_contains("changed_cols", "lang") & F.col("before.lang").isNotNull()).count() == 0
-    # content always changes -> always present in the minimal image
+    assert upd.filter(~F.array_contains("changed_cols", "lang") & F.col("after.lang").isNotNull()).count() == 0
+    # commit/content always change -> always present in the minimal image
     assert upd.filter("before.content is null").count() == 0
+    assert upd.filter("after.commit is null").count() == 0
 
 
 def test_stats_and_progress(spark, small_events):

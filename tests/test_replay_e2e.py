@@ -116,3 +116,43 @@ def test_schema_evolution_branch_column(spark, small_events, tmp_path):
     assert "branch" in df.columns
     n_v2 = df.filter("branch is not null").count()
     assert n_v2 > 0
+
+
+def test_minimal_row_image_replay(spark, tmp_path):
+    """binlog_row_image=MINIMAL: update images carry only keys+changed
+    columns; the columnar-LWW merge must not clobber untouched columns
+    (SURVEY.md §7.4#4). Verified against the partial-apply oracle."""
+    from bingo2sql_spark.sources.synth import generate_events
+
+    ev = generate_events(spark, n_keys=150, versions_per_key=8, n_repos=15,
+                         seed=9, minimal_image=True)
+    pdf = ev.select("seq", "op", "before", "after", "changed_cols").toPandas()
+    table = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    replay(ev, table, batch_id="full", row_image="MINIMAL")
+    expected = oracle.state_checksum(oracle.sequential_apply(pdf))
+    assert table.state_checksum(spark) == expected
+
+
+def test_minimal_row_image_cross_batch(spark, tmp_path):
+    """A partial update in a LATER batch merges column-wise with the
+    stored row (lang written by batch 1 must survive a batch-2 update
+    that only changed content)."""
+    from bingo2sql_spark.sources.synth import generate_events
+
+    ev = generate_events(spark, n_keys=150, versions_per_key=8, n_repos=15,
+                         seed=9, minimal_image=True)
+    pdf = ev.select("seq", "op", "before", "after", "changed_cols").toPandas()
+    cut = int(pdf["seq"].max()) // 2
+    table = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    replay(ev.filter(f"seq <= {cut}"), table, batch_id="b1", row_image="MINIMAL")
+    replay(ev.filter(f"seq > {cut}"), table, batch_id="b2", row_image="MINIMAL")
+    expected = oracle.state_checksum(oracle.sequential_apply(pdf))
+    assert table.state_checksum(spark) == expected
+    # non-checksum column sanity: langs present on rows whose lang was
+    # last written before the cut
+    langs = dict(
+        ((r["repo"], r["path"]), r["lang"]) for r in table.read(spark).collect()
+    )
+    exp_state = oracle.sequential_apply(pdf)
+    exp_langs = {k: v.get("lang") for k, v in exp_state.items()}
+    assert langs == exp_langs
