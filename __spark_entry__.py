@@ -421,6 +421,62 @@ def _q_ann_lsh(spark, sf_dir):
     return SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
+def _q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over lineitem (general relational parity; decimal
+    casts keep the sums bit-exact across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+            F.round(F.avg(dec("l_discount")), 6).cast("double").alias("avg_disc"),
+        )
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session (lag + cumsum
+    windows); sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def _q_windowed_counts(spark, sf_dir):
+    """Tumbling 6h windows per event type (streaming-agg shape in batch)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600) * 21600).alias(
+        "window_start"
+    )
+    return ev.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total_value")
+    )
+
+
+def _q_topk_per_user(spark, sf_dir):
+    """Top-3 events by value per user (window top-k; ties by event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "UTF-8")
@@ -460,6 +516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_binary_meta": _q_multimodal_meta,
+        "agg_pricing_summary": _q_agg_pricing_summary,
+        "events_sessionize": _q_sessionize,
+        "events_windowed_counts": _q_windowed_counts,
+        "events_topk_per_user": _q_topk_per_user,
     }
 
 
@@ -734,6 +794,44 @@ SELECT query_id, neighbor_id, dot_scaled, rank FROM (
 ) WHERE rank <= 5
 """
     q["ann_lsh_topk"] = _lsh_oracle()
+    q["agg_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+       count(*) AS count_order,
+       cast(round(avg(cast(l_discount AS decimal(18,2))), 6) AS double) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+    q["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts)//1000000 - epoch_us(lag(ts) OVER w)//1000000 > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+    q["events_windowed_counts"] = """
+SELECT (epoch_us(ts)//1000000//21600)*21600 AS window_start, event_type,
+       count(*) AS n,
+       cast(round(sum(cast(value AS decimal(18,2))), 2) AS double) AS total_value
+FROM events GROUP BY 1, 2
+"""
+    q["events_topk_per_user"] = """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
     q["multimodal_binary_meta"] = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        ascii(substr(text,1,1)) AS first_byte,

@@ -134,6 +134,47 @@ def decorate(rendered: DataFrame, show_gtid: bool = True, show_time: bool = True
     return out
 
 
+def write_sql_file(
+    events: DataFrame,
+    out_dir: str,
+    *,
+    flashback: bool = False,
+    show_gtid: bool = True,
+    show_time: bool = True,
+    minimal_update: bool = True,
+    compression: str | None = None,
+) -> None:
+    """S5/S7 — the reference's user-facing artifact: an ordered SQL text
+    file (single-writer funnel core/parser.go:844-857 replaced by a
+    global sort; tar.gz Archive core/parser.go:2460-2485 replaced by the
+    writer's codec option).
+
+    Emits one text part per sorted range (repartitionByRange keeps the
+    global order across files: part-00000 < part-00001 ...); pass the
+    result of operators.flashback.invert for rollback files — ascending
+    seq on inverted events IS reverse binlog order, so no special
+    casing."""
+    from bingo2sql_spark.operators import flashback as FB
+
+    ev = FB.invert(events) if flashback else events
+    rendered = decorate(render_sql(ev, minimal_update=minimal_update), show_gtid, show_time)
+    line = F.concat_ws(
+        "\n",
+        *( [F.col("gtid_comment")] if show_gtid else [] ),
+        F.concat(
+            F.col("sql"),
+            F.coalesce(F.regexp_replace(F.col("time_comment"), "^; ", " # "), F.lit(""))
+            if show_time
+            else F.lit(""),
+        ),
+    )
+    out = rendered.select("seq", line.alias("value")).orderBy("seq").select("value")
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(out_dir)
+
+
 def render_sql_arrow(
     events: DataFrame,
     payload_cols: list[str] | None = None,

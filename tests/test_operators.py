@@ -170,3 +170,34 @@ def test_compact_drops_tombstones(spark, small_events, tmp_path):
     t.compact(spark)
     assert t._read_raw(spark).filter("_deleted").count() == 0
     assert t.state_checksum(spark) == live_before
+
+
+def test_write_sql_file_ordered_and_decorated(spark, small_events, tmp_path):
+    """S5/S6: ordered SQL text artifact with GTID/time comments; forward
+    file replays in order, flashback file is reverse binlog order."""
+    import glob
+
+    from bingo2sql_spark.functions.render import write_sql_file
+
+    out = str(tmp_path / "sqlout")
+    sample = small_events.filter("seq < 64")
+    write_sql_file(sample, out)
+    lines = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        with open(p) as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    stmts = [ln for ln in lines if not ln.startswith("# GTID")]
+    assert len(stmts) == 64
+    assert stmts[0].startswith("INSERT INTO ")  # v0 inserts come first
+    assert any(ln.startswith("# GTID ") for ln in lines)
+    assert any(" # 2024-01-01" in ln for ln in lines)
+
+    outfb = str(tmp_path / "sqlout_fb")
+    write_sql_file(sample, outfb, flashback=True, show_gtid=False, show_time=False)
+    fb_lines = []
+    for p in sorted(glob.glob(outfb + "/part-*")):
+        with open(p) as f:
+            fb_lines += [ln for ln in f.read().splitlines() if ln]
+    # flashback of inserts = DELETEs, in reverse order of the forward file
+    assert len(fb_lines) == 64
+    assert all(ln.startswith("DELETE FROM ") for ln in fb_lines)
