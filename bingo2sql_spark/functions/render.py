@@ -163,7 +163,7 @@ def write_sql_file(
         *( [F.col("gtid_comment")] if show_gtid else [] ),
         F.concat(
             F.col("sql"),
-            F.coalesce(F.regexp_replace(F.col("time_comment"), "^; ", " # "), F.lit(""))
+            F.coalesce(F.regexp_replace(F.col("time_comment"), "^; # ", " # "), F.lit(""))
             if show_time
             else F.lit(""),
         ),
