@@ -175,6 +175,68 @@ def write_sql_file(
     w.text(out_dir)
 
 
+def render_multi_row_inserts(
+    events: DataFrame,
+    payload_cols: list[str] | None = None,
+    batch_rows: int = 100,
+) -> DataFrame:
+    """T1 `--minimal-insert` (default-on in the reference,
+    core/parser.go:1164-1240): consecutive INSERTs into the same table
+    become one multi-row `INSERT ... VALUES(...),(...)` statement.
+
+    "Consecutive" is per seq order; grouping is seq-range-partitioned
+    (repartitionByRange) so each statement covers a contiguous run and
+    batching never crosses a non-insert event. Output: (seq of first
+    row, sql)."""
+    cols = payload_cols or S.payload_columns()
+    flat = events.filter(F.col("op") == S.OP_INSERT).select(
+        "seq", "db", "table", *[F.col(f"after.{c}").alias(f"a_{c}") for c in cols]
+    )
+    flat = flat.repartitionByRange(
+        max(1, flat.sparkSession.sparkContext.defaultParallelism), "seq"
+    ).sortWithinPartitions("seq")
+
+    def esc(s: pd.Series) -> pd.Series:
+        return (
+            s.astype("string")
+            .str.replace("\\", "\\\\", regex=False)
+            .str.replace("'", "\\'", regex=False)
+            .str.replace("\n", "\\n", regex=False)
+            .str.replace("\r", "\\r", regex=False)
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        col_list = "(" + ",".join(f"`{c}`" for c in cols) + ")"
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = None
+            for c in cols:
+                lit = ("'" + esc(pdf[f"a_{c}"]) + "'").fillna("NULL")
+                vals = lit if vals is None else vals + "," + lit
+            pdf = pdf.assign(_tuple="(" + vals + ")")
+            # group key: same (db, table) AND same seq-run chunk
+            run = (
+                (pdf["db"] != pdf["db"].shift())
+                | (pdf["table"] != pdf["table"].shift())
+            ).cumsum()
+            chunk = pdf.groupby(run).cumcount() // batch_rows
+            g = pdf.groupby([run, chunk], sort=True)
+            out = g.agg(
+                seq=("seq", "min"),
+                db=("db", "first"),
+                table=("table", "first"),
+                values=("_tuple", ",".join),
+            )
+            out["sql"] = (
+                "INSERT INTO `" + out["db"] + "`.`" + out["table"] + "`"
+                + col_list + " VALUES" + out["values"] + ";"
+            )
+            yield out[["seq", "sql"]]
+
+    return flat.mapInPandas(gen, schema="seq long, sql string")
+
+
 def render_sql_arrow(
     events: DataFrame,
     payload_cols: list[str] | None = None,

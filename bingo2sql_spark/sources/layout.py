@@ -1,0 +1,53 @@
+"""S3/S4 — event-log physical layout: partition pruning replaces binlog
+file discovery.
+
+The reference finds the start/stop binlog files for a time range by
+probing each file's first timestamp over N extra connections
+(autoParseBinlogPosition core/parser.go:972-1007,1059-1107) and asks the
+server for the end of the log (SHOW MASTER STATUS,
+core/parser.go:1691-1721). In a lake layout both disappear: events land
+partitioned by `log_file` (and day), so a (file,pos) or time-range
+filter prunes partitions at PLANNING time — out-of-range files are
+never listed, let alone read — and "master status" is simply the max
+landed partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def land_events(events: DataFrame, path: str, by_day: bool = True) -> None:
+    """Write the event log in the pruning-friendly layout:
+    `p_file=<log_file>[/p_day=<yyyy-MM-dd>]/part-*.parquet`, rows sorted
+    by log position within files (row-group min/max skipping for F2)."""
+    df = events.withColumn("p_file", F.col("log_file"))
+    part_names = ["p_file"]
+    if by_day:
+        df = df.withColumn("p_day", F.date_format("ts", "yyyy-MM-dd"))
+        part_names.append("p_day")
+    (
+        df.repartition(F.col("p_file"))
+        .sortWithinPartitions("log_pos")
+        .write.mode("overwrite")
+        .partitionBy(*part_names)
+        .parquet(path)
+    )
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the landed log; apply operators.filters.* on the result —
+    file/time predicates hit partition columns and prune."""
+    df = spark.read.parquet(path)
+    # partition dirs carry the canonical values; keep envelope names too
+    if "p_file" in df.columns:
+        df = df.withColumn("log_file", F.coalesce(F.col("log_file"), F.col("p_file")))
+    return df
+
+
+def head_position(spark: SparkSession, path: str) -> tuple[str, int]:
+    """S4 master-status analog: the highest (log_file, log_pos) landed."""
+    df = spark.read.parquet(path)
+    r = df.agg(F.max(F.struct("log_file", "log_pos")).alias("m")).collect()[0]["m"]
+    return (r["log_file"], r["log_pos"])

@@ -201,3 +201,74 @@ def test_write_sql_file_ordered_and_decorated(spark, small_events, tmp_path):
     # flashback of inserts = DELETEs, in reverse order of the forward file
     assert len(fb_lines) == 64
     assert all(ln.startswith("DELETE FROM ") for ln in fb_lines)
+
+
+def test_multi_row_insert_batching(spark, small_events):
+    """--minimal-insert: consecutive same-table inserts collapse into one
+    multi-row VALUES statement (TestInsert core/parser_test.go:956-1006)."""
+    from bingo2sql_spark.functions.render import render_multi_row_inserts, render_sql
+
+    sample = small_events.filter("op = 'insert'")
+    n_inserts = sample.count()
+    batched = render_multi_row_inserts(sample, batch_rows=10).collect()
+    # every source row appears exactly once across all statements
+    total_tuples = sum(r["sql"].count("),(") + 1 for r in batched)
+    assert total_tuples == n_inserts
+    assert all(r["sql"].startswith("INSERT INTO `") and r["sql"].endswith(");") for r in batched)
+    assert any(r["sql"].count("),(") > 0 for r in batched), "expected multi-row batches"
+    assert all(r["sql"].count("),(") + 1 <= 10 for r in batched)
+    # values match the single-row renderer's VALUES clauses
+    singles = {
+        r["sql"].split(" VALUES(")[1][:-2]
+        for r in render_sql(sample.limit(50)).collect()
+    }
+    first_tuple = batched[0]["sql"].split(" VALUES(")[1].split("),(")[0].rstrip(");")
+    assert any(first_tuple == s for s in singles)
+
+
+def test_render_no_primary_key(spark, small_events):
+    """--no-primary-key: key columns dropped from INSERT column list
+    (TestRemovePrimary core/parser_test.go:879-902)."""
+    from bingo2sql_spark.functions.render import render_sql
+
+    sql = render_sql(
+        small_events.filter("op = 'insert'").limit(1), no_primary_key=True
+    ).collect()[0]["sql"]
+    assert "(`commit`,`lang`,`content`,`branch`)" in sql
+    assert "`repo`" not in sql.split("VALUES")[0]
+
+
+def test_update_to_null_and_back(spark):
+    """NULL transitions in minimal updates (TestUpdate2Null
+    core/parser_test.go:849-877): value->NULL emits `col`=NULL in SET,
+    NULL->value emits the value; WHERE uses IS NULL for NULL keys."""
+    from datetime import datetime
+
+    from bingo2sql_spark import schema as S
+    from bingo2sql_spark.functions.render import render_sql
+
+    mk = lambda b, a: (  # noqa: E731
+        1, "bin.1", 4, "u", 1, datetime(2024, 1, 1), 1, "test", "repo_files",
+        "update", b, a, None, 1,
+    )
+    env = spark.createDataFrame(
+        [
+            mk(("r", "p", "c1", "go", "x", None), ("r", "p", "c2", None, "x", None)),
+            mk(("r", "p", "c2", None, "x", None), ("r", "p", "c3", "py", "x", None)),
+        ],
+        S.envelope_schema(),
+    )
+    sqls = [r["sql"] for r in render_sql(env).collect()]
+    assert any("`lang`=NULL" in s for s in sqls)
+    assert any("`lang`='py'" in s for s in sqls)
+
+
+def test_stop_time_empty_window(spark, small_events):
+    """Empty time window yields zero events (TestStopTime empty-window
+    case, core/parser_test.go:612-663)."""
+    from bingo2sql_spark.operators import filters as FL
+
+    empty = small_events.filter(
+        FL.time_range("2030-01-01 00:00:00", "2030-01-02 00:00:00")
+    )
+    assert empty.count() == 0

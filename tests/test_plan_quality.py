@@ -124,3 +124,21 @@ def test_hot_key_skew_many_versions(spark, tmp_path):
     t = IcebergLiteTable(str(tmp_path / "t"), n_buckets=4)
     replay(ev, t, batch_id="hot")
     assert t.state_checksum(spark) == oracle.state_checksum(oracle.sequential_apply(pdf))
+
+
+def test_event_layout_partition_pruning(spark, small_events, tmp_path):
+    """S3: the binlog-file auto-discovery analog — a log_file predicate
+    prunes partitions at planning time (PartitionFilters), and the S4
+    master-status analog reports the max landed position."""
+    from bingo2sql_spark.sources.layout import head_position, land_events, read_events
+
+    path = str(tmp_path / "landed")
+    land_events(small_events, path)
+    df = read_events(spark, path)
+    q = df.filter(F.col("p_file") == "bin.000001").select("seq", "log_pos")
+    plan = _plan(q)
+    assert "PartitionFilters: [" in plan and "p_file" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert q.count() == small_events.filter("log_file = 'bin.000001'").count()
+    hf, hp = head_position(spark, path)
+    mx = small_events.agg(F.max(F.struct("log_file", "log_pos")).alias("m")).collect()[0]["m"]
+    assert (hf, hp) == (mx["log_file"], mx["log_pos"])
