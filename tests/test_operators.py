@@ -272,3 +272,39 @@ def test_stop_time_empty_window(spark, small_events):
         FL.time_range("2030-01-01 00:00:00", "2030-01-02 00:00:00")
     )
     assert empty.count() == 0
+
+
+def test_generated_columns_and_key_fallback():
+    """T6: generated columns excluded from emitted column lists
+    (IsGenerated core/parser.go:49-56, ValidColumns :81-91); T9: keyless
+    tables fall back to all-column identity (core/parser.go:1292-1305)."""
+    from bingo2sql_spark.schema import ColumnMeta, TableMeta
+
+    t = TableMeta(
+        db="test", table="gen", schema_ver=1,
+        columns=[
+            ColumnMeta("id", is_key=True),
+            ColumnMeta("payload"),
+            ColumnMeta("derived", generated=True),
+        ],
+    )
+    assert t.valid_columns == ["id", "payload"]
+    assert t.key_columns == ["id"]
+    keyless = TableMeta(
+        db="test", table="nokey", schema_ver=1,
+        columns=[ColumnMeta("a"), ColumnMeta("b"), ColumnMeta("g", generated=True)],
+    )
+    assert keyless.key_columns == ["a", "b"]  # all non-generated columns
+
+
+def test_render_excludes_generated_columns(spark, small_events):
+    """Generated columns never appear in INSERT/UPDATE column lists —
+    render on the projected payload (TestFieldGenerated
+    core/parser_test.go:787-812)."""
+    from bingo2sql_spark.functions.render import render_sql
+
+    sql = render_sql(
+        small_events.filter("op='insert'").limit(1),
+        payload_cols=["repo", "path", "commit", "lang", "content"],  # branch "generated"
+    ).collect()[0]["sql"]
+    assert "`branch`" not in sql
