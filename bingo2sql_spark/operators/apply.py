@@ -412,6 +412,31 @@ class IcebergLiteTable:
                 }
         return out
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, Any]:
+        """Iceberg `expire_snapshots` analog: delete snapshot data dirs
+        that no manifest in the retained window references. The current
+        manifest's bucket->snapshot map pins live data; older manifests
+        beyond `keep_last` lose time-travel but free space."""
+        import shutil
+
+        m = self.latest_manifest()
+        if not m:
+            return {"removed": 0}
+        live = set(m["buckets"].values())
+        mdir = os.path.join(self.path, MANIFEST_DIR)
+        names = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-") and n.endswith(".json"))
+        for n in names[-keep_last:]:
+            with open(os.path.join(mdir, n)) as f:
+                live |= set(json.load(f)["buckets"].values())
+        ddir = os.path.join(self.path, DATA_DIR)
+        removed = 0
+        if os.path.isdir(ddir):
+            for d in os.listdir(ddir):
+                if d.startswith("snap-") and int(d.split("-")[1]) not in live:
+                    shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+                    removed += 1
+        return {"removed": removed, "live_snapshots": sorted(live)}
+
     # -- verification helpers ---------------------------------------------------
 
     def state_checksum(self, spark: SparkSession) -> list[tuple]:

@@ -308,3 +308,22 @@ def test_render_excludes_generated_columns(spark, small_events):
         payload_cols=["repo", "path", "commit", "lang", "content"],  # branch "generated"
     ).collect()[0]["sql"]
     assert "`branch`" not in sql
+
+
+def test_expire_snapshots(spark, small_events, tmp_path):
+    """Unreferenced snapshot dirs are GC'd; live state unchanged."""
+    import os
+
+    from bingo2sql_spark.operators.apply import IcebergLiteTable
+    from bingo2sql_spark.pipeline import replay
+
+    t = IcebergLiteTable(str(tmp_path / "t"), n_buckets=4)
+    for i, cut in enumerate((400, 800, 1200, 1600)):
+        replay(small_events.filter(f"seq < {cut} and seq >= {cut - 400}"), t, batch_id=f"b{i}")
+    before = t.state_checksum(spark)
+    t.compact(spark)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed"] >= 1
+    assert t.state_checksum(spark) == before
+    snaps = os.listdir(os.path.join(t.path, "data"))
+    assert len(snaps) <= 3

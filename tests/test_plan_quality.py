@@ -142,3 +142,25 @@ def test_event_layout_partition_pruning(spark, small_events, tmp_path):
     hf, hp = head_position(spark, path)
     mx = small_events.agg(F.max(F.struct("log_file", "log_pos")).alias("m")).collect()[0]["m"]
     assert (hf, hp) == (mx["log_file"], mx["log_pos"])
+
+
+def test_filters_push_below_decode(spark, small_events, tmp_path):
+    """Catalyst must reorder F1/F4 predicates BELOW the from_json decode
+    projection and into the raw scan — decoding 100 TB then filtering is
+    the failure mode (SURVEY §4: filters upstream of widening ops)."""
+    from bingo2sql_spark.operators import filters as FL
+    from bingo2sql_spark.sources.decode import decode_events
+    from bingo2sql_spark.sources.synth import to_raw
+
+    p = str(tmp_path / "raw")
+    to_raw(small_events).write.parquet(p)
+    raw = spark.read.parquet(p)
+    q = FL.apply_filters(
+        decode_events(raw), tables=["repo_files"], start_time="2024-01-01 00:01:00"
+    )
+    plan = _plan(q)
+    pushed = plan.split("PushedFilters: [")[1].split("ReadSchema")[0]
+    assert "GreaterThanOrEqual(ts" in pushed
+    # decode (from_json) must appear ABOVE the filter in the plan tree
+    assert plan.index("from_json") < plan.index("FileScan")
+    assert "Filter" in plan.split("from_json")[-1]
