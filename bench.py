@@ -26,20 +26,24 @@ from bingo2sql_spark.session import get_spark  # noqa: E402
 
 
 def headline_replay(spark, n_events: int) -> dict:
-    """Synth -> filters -> LWW -> Iceberg-lite MERGE, timed end to end
-    (events materialized to parquet first so generation isn't counted)."""
+    """Raw wire events -> decode -> filters -> LWW -> Iceberg-lite MERGE,
+    timed end to end (raw events landed to parquet first so generation
+    isn't counted; decode IS counted — same job as BENCH/run_scaling)."""
     from bingo2sql_spark.operators.apply import IcebergLiteTable
     from bingo2sql_spark.pipeline import replay
-    from bingo2sql_spark.sources.synth import generate_events
+    from bingo2sql_spark.sources.decode import decode_events
+    from bingo2sql_spark.sources.synth import generate_events, to_raw
 
     tmp = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         src = os.path.join(tmp, "events")
         n_keys = max(1000, n_events // 8)
-        generate_events(
-            spark, n_keys=n_keys, versions_per_key=8, n_repos=max(50, n_keys // 200)
+        to_raw(
+            generate_events(
+                spark, n_keys=n_keys, versions_per_key=8, n_repos=max(50, n_keys // 200)
+            )
         ).write.mode("overwrite").parquet(src)
-        events = spark.read.parquet(src)
+        events = decode_events(spark.read.parquet(src))
 
         # JVM/codegen warmup on a small slice (reference methodology:
         # medians of 10 timed runs, docs/test.md) — one throwaway replay

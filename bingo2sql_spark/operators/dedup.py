@@ -115,26 +115,50 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs. Without `block_col`
-    this is quadratic — at scale ALWAYS block first (minhash bands or a
-    cheap key like language+length-bucket)."""
-    sh = docs.select(
-        F.col(id_col), F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
-        *( [F.col(block_col)] if block_col else [] ),
+    """Exact n-gram Jaccard via an INVERTED INDEX: explode distinct
+    shingles, self-join on the shingle (within the optional block),
+    count co-occurrences per pair, then jaccard from per-doc set sizes.
+
+    Only pairs sharing >= 1 shingle ever materialize — for threshold>0
+    the result is identical to the all-pairs cross join, but work scales
+    with sum(posting-list^2) instead of n_docs^2. At web scale, cap
+    posting lists with `max_doc_freq` (drop boilerplate shingles that
+    occur in more than that many docs — standard near-dup practice;
+    changes jaccard for the dropped shingles only)."""
+    base = docs.select(
+        F.col(id_col),
+        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
+        *([F.col(block_col)] if block_col else []),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    sizes = base.select(F.col(id_col), F.size("sh").alias("n"))
+    posts = base.select(
+        F.col(id_col), *([F.col(block_col)] if block_col else []), F.explode("sh").alias("s")
+    )
+    if max_doc_freq:
+        df_counts = posts.groupBy("s").count().filter(F.col("count") <= max_doc_freq)
+        posts = posts.join(df_counts.select("s"), "s", "left_semi")
+    a, b = posts.alias("a"), posts.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    return (
+    inter = (
         a.join(b, cond)
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
