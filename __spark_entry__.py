@@ -477,6 +477,48 @@ def _q_topk_per_user(spark, sf_dir):
     )
 
 
+def _q_join_revenue_by_nation(spark, sf_dir):
+    """Fact-fact join (customer⋈orders) + broadcast dim chain
+    (nation⋈region): revenue per nation/region. Broadcast hints on the
+    small dims keep the big join the only shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_semi_anti_join(spark, sf_dir):
+    """left-semi (EXISTS) + left-anti (NOT EXISTS): customers with vs
+    without orders, per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_o = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    without_o = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        with_o.groupBy("c_mktsegment").agg(F.count("*").alias("n_with_orders"))
+        .join(
+            without_o.groupBy("c_mktsegment").agg(F.count("*").alias("n_without_orders")),
+            "c_mktsegment",
+            "full_outer",
+        )
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "UTF-8")
@@ -520,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_windowed_counts": _q_windowed_counts,
         "events_topk_per_user": _q_topk_per_user,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "join_semi_anti_segments": _q_semi_anti_join,
     }
 
 
@@ -794,6 +838,32 @@ SELECT query_id, neighbor_id, dot_scaled, rank FROM (
 ) WHERE rank <= 5
 """
     q["ann_lsh_topk"] = _lsh_oracle()
+    q["join_revenue_by_nation"] = """
+SELECT n.n_name AS nation, r.r_name AS region,
+       count(*) AS n_orders,
+       cast(sum(cast(o.o_totalprice AS decimal(18,2))) AS double) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""
+    q["join_semi_anti_segments"] = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n_with_orders FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY c_mktsegment
+),
+wo AS (
+  SELECT c_mktsegment, count(*) AS n_without_orders FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  GROUP BY c_mktsegment
+)
+SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       coalesce(n_with_orders, 0) AS n_with_orders,
+       coalesce(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+"""
     q["agg_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
