@@ -355,6 +355,17 @@ def _q_minhash_signature(spark, sf_dir):
     return DD.minhash_signature(docs, k=4)
 
 
+def _q_minhash_pairs(spark, sf_dir):
+    from bingo2sql_spark.operators import dedup as DD
+
+    # duplicate the corpus so real candidate pairs exist
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return DD.minhash_candidate_pairs(doubled, k=4, bands=2)
+
+
 def _q_simhash(spark, sf_dir):
     from bingo2sql_spark.operators import dedup as DD
 
@@ -550,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_fingerprint": _q_dedup_fingerprint,
         "dedup_minhash_signature": _q_minhash_signature,
+        "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "text_token_count": _q_text_tokens,
@@ -776,6 +788,27 @@ SELECT doc_id,
        list_min(list_transform(_sh, s -> md5('3:' || s))) AS mh3
 FROM (SELECT doc_id, {_SHINGLES} AS _sh
       FROM (SELECT doc_id, {_WORDS} AS _w FROM documents))
+"""
+    q["dedup_minhash_lsh_pairs"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id+1000000, text FROM documents),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(_sh, s -> md5('0:' || s))) AS mh0,
+         list_min(list_transform(_sh, s -> md5('1:' || s))) AS mh1,
+         list_min(list_transform(_sh, s -> md5('2:' || s))) AS mh2,
+         list_min(list_transform(_sh, s -> md5('3:' || s))) AS mh3
+  FROM (SELECT doc_id, {_SHINGLES} AS _sh
+        FROM (SELECT doc_id, {_WORDS} AS _w FROM d))
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS digest FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS digest FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
 """
     q["dedup_simhash"] = (
         "SELECT doc_id, "

@@ -79,3 +79,43 @@ def test_stream_restart_noop_when_drained(spark, small_events, tmp_path):
     q2.awaitTermination(120)
     assert table.latest_manifest()["version"] == v1
     assert table.state_checksum(spark) == chk
+
+
+def test_stream_continuous_trigger(spark, small_events, tmp_path):
+    """--stop-never analog: processingTime trigger tails the landing
+    dir; new files are picked up by later micro-batches; manual stop()
+    like the reference's DELETE /parse/:id (core/parser.go:636-642)."""
+    import time
+
+    from bingo2sql_spark import oracle
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = small_events.select("seq", "op", "before", "after").toPandas()
+    cut = int(pdf["seq"].max()) // 2
+    _write_ordered(small_events.filter(f"seq <= {cut}"), land, n_files=2)
+
+    table = IcebergLiteTable(str(tmp_path / "target"), n_buckets=8)
+    q = start_ingest(
+        spark, land, table, ckpt, available_now=False
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not read_metrics(table):
+            time.sleep(1)
+        assert read_metrics(table), "first micro-batch never committed"
+        # feed the second half while the query is live
+        (
+            small_events.filter(f"seq > {cut}")
+            .repartitionByRange(2, "seq")
+            .sortWithinPartitions("seq")
+            .write.mode("append")
+            .parquet(land)
+        )
+        expected = oracle.state_checksum(oracle.sequential_apply(pdf))
+        deadline = time.time() + 120
+        while time.time() < deadline and table.state_checksum(spark) != expected:
+            time.sleep(2)
+        assert table.state_checksum(spark) == expected
+    finally:
+        q.stop()
