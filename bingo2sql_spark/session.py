@@ -45,11 +45,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd shuffle: fewer bytes through the memory/disk path than
+        # lz4 at modest CPU cost — the shuffle is bandwidth-bound in
+        # this workload (BENCH/BASELINE.md analysis)
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    # ad-hoc overrides for experiments: BINGO_SPARK_CONF='{"k":"v",...}'
+    env_conf = os.environ.get("BINGO_SPARK_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
