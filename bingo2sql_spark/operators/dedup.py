@@ -17,10 +17,40 @@ ints — same statistical behavior, trivially portable to any SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bingo2sql_spark.functions import text as TX
+
+
+def _exploded_shingles(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle-md5) rows via posexplode + window leads — fully
+    whole-stage-codegen (the array/higher-order-function formulation in
+    functions.text.shingles is interpreted per element and ~10x slower
+    on large corpora; values are identical). Keeps one row per doc for
+    docs shorter than shingle_n (partial shingle), matching the array
+    semantics."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_pos", "_w"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.col("_w")] + [F.lead("_w", j).over(w) for j in range(1, shingle_n)]
+    n = F.count("*").over(Window.partitionBy(id_col))
+    # NB: materialize the windowed shingle BEFORE filtering — a filter
+    # below the window would hide each row's successors from lead()
+    return (
+        words.select(
+            F.col(id_col),
+            F.col("_pos"),
+            n.alias("_n"),
+            F.md5(F.concat_ws(" ", *leads)).alias("shingle"),
+        )
+        .filter(F.col("_pos") <= F.greatest(F.col("_n") - shingle_n, F.lit(0)))
+        .select(id_col, "shingle")
+    )
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,18 +76,17 @@ def minhash_signature(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
     """k-permutation MinHash signature per doc. Hash family i is
-    md5(i || shingle); the min is taken lexicographically over hex."""
-    sh = TX.shingles(text_col, shingle_n)
-    cols = [F.col(id_col)]
+    md5(i || shingle); the min is taken lexicographically over hex.
 
-    def mk(i: int):
-        # NB: a default-arg capture (lambda s, i=i: ...) would change the
-        # lambda's arity and make Spark pass the ELEMENT INDEX as i.
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    for i in range(k):
-        cols.append(F.array_min(F.transform(sh, mk(i))).alias(f"mh{i}"))
-    return docs.select(*cols)
+    Computed over exploded shingle rows with k min() aggregates in ONE
+    groupBy — whole-stage codegen with map-side combine, instead of k
+    interpreted higher-order transforms per document."""
+    sh = _exploded_shingles(docs, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -105,7 +134,20 @@ def minhash_candidate_pairs(
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
-    return docs.select(F.col(id_col), TX.simhash_bits(text_col, n_bits).alias("simhash"))
+    """SimHash per doc, computed as n_bits conditional sums in one
+    codegen groupBy over exploded tokens (same values as
+    functions.text.simhash_bits, which stays as the per-row Column
+    variant for composing into other expressions)."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
+    ).withColumn("_h", F.md5("_w"))
+    aggs = [
+        F.sum((F.ascii(F.substring("_h", j + 1, 1)) % 2) * 2 - 1).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    agged = words.groupBy(id_col).agg(*aggs)
+    bits = [F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(n_bits)]
+    return agged.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -127,15 +169,13 @@ def ngram_jaccard_pairs(
     posting lists with `max_doc_freq` (drop boilerplate shingles that
     occur in more than that many docs — standard near-dup practice;
     changes jaccard for the dropped shingles only)."""
-    base = docs.select(
-        F.col(id_col),
-        F.array_distinct(TX.shingles(text_col, shingle_n)).alias("sh"),
-        *([F.col(block_col)] if block_col else []),
-    )
-    sizes = base.select(F.col(id_col), F.size("sh").alias("n"))
-    posts = base.select(
-        F.col(id_col), *([F.col(block_col)] if block_col else []), F.explode("sh").alias("s")
-    )
+    exploded = _exploded_shingles(docs, text_col, id_col, shingle_n)
+    if block_col:
+        exploded = exploded.join(docs.select(id_col, block_col), id_col)
+    posts = exploded.select(
+        F.col(id_col), *([F.col(block_col)] if block_col else []), F.col("shingle").alias("s")
+    ).distinct()
+    sizes = posts.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_doc_freq:
         df_counts = posts.groupBy("s").count().filter(F.col("count") <= max_doc_freq)
         posts = posts.join(df_counts.select("s"), "s", "left_semi")
