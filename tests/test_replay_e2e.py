@@ -156,3 +156,38 @@ def test_minimal_row_image_cross_batch(spark, tmp_path):
     exp_state = oracle.sequential_apply(pdf)
     exp_langs = {k: v.get("lang") for k, v in exp_state.items()}
     assert langs == exp_langs
+
+
+def test_crash_between_data_and_manifest(spark, small_events, events_pdf, tmp_path):
+    """Atomicity: the manifest rename is the commit point. A crash after
+    snapshot data is written but BEFORE the manifest lands must leave
+    the table state unchanged (orphan data only), and retrying the same
+    batch must converge to the correct state."""
+    table = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    cut = int(events_pdf["seq"].max()) // 2
+    replay(small_events.filter(f"seq <= {cut}"), table, batch_id="b1")
+    state_before = table.state_checksum(spark)
+    version_before = table.latest_manifest()["version"]
+
+    real_write = table._write_manifest
+
+    def boom(m):
+        raise RuntimeError("simulated crash before manifest rename")
+
+    table._write_manifest = boom
+    try:
+        replay(small_events.filter(f"seq > {cut}"), table, batch_id="b2")
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    finally:
+        table._write_manifest = real_write
+
+    # state untouched; orphan snapshot dir may exist but is unreferenced
+    assert table.latest_manifest()["version"] == version_before
+    assert table.state_checksum(spark) == state_before
+
+    # retry the same batch -> full convergence
+    replay(small_events.filter(f"seq > {cut}"), table, batch_id="b2")
+    expected = oracle.state_checksum(oracle.sequential_apply(events_pdf))
+    assert table.state_checksum(spark) == expected
