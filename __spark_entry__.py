@@ -530,6 +530,19 @@ def _q_semi_anti_join(spark, sf_dir):
     )
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (doubled corpus guarantees exact
+    twins): SRP-bucket candidates + exact int-scaled dot >= 0.9e6
+    (embeddings are unit-normalized)."""
+    from bingo2sql_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return SIM.cosine_near_dup_pairs(doubled, threshold_scaled=900000, n_planes=4, dim=64)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "UTF-8")
@@ -569,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
         "multimodal_binary_meta": _q_multimodal_meta,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "events_sessionize": _q_sessionize,
@@ -584,23 +598,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _srp_weights_sql(j: int) -> str:
+    return ",".join(
+        str(1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 else -1)
+        for i in range(64)
+    )
+
+
+def _bucket_expr_sql(col: str, n_planes: int = 4) -> str:
+    bits = [
+        f"(CASE WHEN list_dot_product(list_transform({col}, x->round(cast(x AS double)*1000)), [{_srp_weights_sql(j)}]) > 0 THEN '1' ELSE '0' END)"
+        for j in range(n_planes)
+    ]
+    return " || ".join(bits)
+
+
 def _lsh_oracle() -> str:
     """Mirror of similarity.srp_bucket with the same md5-derived ±1
     weights, generated here so both sides share one definition."""
-    def weights(j):
-        return [
-            1 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 else -1
-            for i in range(64)
-        ]
 
     def bucket_expr(col):
-        bits = []
-        for j in range(4):
-            w = ",".join(str(x) for x in weights(j))
-            bits.append(
-                f"(CASE WHEN list_dot_product(list_transform({col}, x->round(cast(x AS double)*1000)), [{w}]) > 0 THEN '1' ELSE '0' END)"
-            )
-        return " || ".join(bits)
+        return _bucket_expr_sql(col, 4)
 
     return f"""
 WITH v AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bkt FROM embeddings),
@@ -871,6 +889,17 @@ SELECT query_id, neighbor_id, dot_scaled, rank FROM (
 ) WHERE rank <= 5
 """
     q["ann_lsh_topk"] = _lsh_oracle()
+    q["dedup_embedding_cosine"] = f"""
+WITH d AS (SELECT vec_id, embedding FROM embeddings
+           UNION ALL SELECT vec_id+100000, embedding FROM embeddings),
+v AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding', 4)} AS bkt FROM d)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(list_transform(a.embedding, x->round(cast(x AS double)*1000)),
+                               list_transform(b.embedding, x->round(cast(x AS double)*1000))) AS BIGINT) AS dot_scaled
+  FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+) WHERE dot_scaled >= 900000
+"""
     q["join_revenue_by_nation"] = """
 SELECT n.n_name AS nation, r.r_name AS region,
        count(*) AS n_orders,

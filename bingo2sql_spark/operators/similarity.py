@@ -109,6 +109,37 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold_scaled: int,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share an SRP
+    bucket (near-identical vectors almost always do), then exact
+    integer-scaled dot filters by `threshold_scaled` (on round(x*1000)
+    components; for unit-normalized embeddings cosine t corresponds to
+    threshold_scaled ~ t * 1e6). Only within-bucket pairs materialize —
+    the scale path for near-dup dedup over 10^9 embeddings; raise
+    n_planes to shrink buckets, add multi-probe to recover recall."""
+    vb = with_srp_bucket_arrow(vectors, vec_col, n_planes, dim).select(
+        id_col, vec_col, "_bucket"
+    )
+    a, b = vb.alias("a"), vb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        dot_int(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("dot_scaled"),
+    )
+    return pairs.filter(F.col("dot_scaled") >= threshold_scaled)
+
+
 def srp_bucket(vec_col: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
     """Sign-random-projection bucket code ('0'/'1' per hyperplane).
 
