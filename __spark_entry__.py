@@ -670,7 +670,11 @@ END
 
 
 def oracle_sql() -> dict[str, str]:
-    esc = "replace(replace(replace(replace({x}, '\\', '\\\\'), chr(39), '\\' || chr(39)), chr(10), '\\n'), chr(13), '\\r')"
+    esc = (
+        "replace(replace(replace(replace(replace({x}, '\\', '\\\\'), "
+        "chr(39), '\\' || chr(39)), chr(10), '\\n'), chr(13), '\\r'), "
+        "'\"', '\\\"')"
+    )
     lit = "(CASE WHEN {x} IS NULL THEN 'NULL' ELSE chr(39) || " + esc + " || chr(39) END)"
 
     def L(x):
@@ -732,9 +736,9 @@ GROUP BY db, "table"
         _EEV
         + """
 SELECT db, "table",
-       sum(CASE WHEN op='insert' THEN 1 ELSE 0 END) AS inserts,
-       sum(CASE WHEN op='update' THEN 1 ELSE 0 END) AS updates,
-       sum(CASE WHEN op='delete' THEN 1 ELSE 0 END) AS deletes,
+       CAST(sum(CASE WHEN op='insert' THEN 1 ELSE 0 END) AS BIGINT) AS inserts,
+       CAST(sum(CASE WHEN op='update' THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+       CAST(sum(CASE WHEN op='delete' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
        count(*) AS total,
        epoch_us(min(ts)) AS first_ts_us,
        epoch_us(max(ts)) AS last_ts_us
@@ -948,7 +952,7 @@ s AS (SELECT user_id, event_id,
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM g)
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """
     q["events_windowed_counts"] = """

@@ -32,13 +32,31 @@ KEY_COLS = list(S.MERGE_KEYS)
 
 
 def sql_escape(c: Column) -> Column:
-    """Backslash escaping (escapeBytesBackslash core/parser.go:1894-1935):
-    \\ -> \\\\, ' -> \\', plus newline/CR normalization."""
+    """Backslash escaping, full escapeBytesBackslash character set
+    (core/parser.go:1894-1935): \\ ' " NUL(0x00) Ctrl-Z(0x1a) LF CR.
+    Content containing NUL or Ctrl-Z would otherwise corrupt/truncate
+    the replayed SQL text."""
     c = F.regexp_replace(c, r"\\", r"\\\\")
     c = F.regexp_replace(c, r"'", r"\\'")
+    c = F.regexp_replace(c, '"', '\\\\"')
     c = F.regexp_replace(c, r"\n", r"\\n")
     c = F.regexp_replace(c, r"\r", r"\\r")
+    c = F.regexp_replace(c, "\x00", r"\\0")
+    c = F.regexp_replace(c, "\x1a", r"\\Z")
     return c
+
+
+def _esc_pandas(s: pd.Series) -> pd.Series:
+    """Pandas mirror of sql_escape (identical character set/order)."""
+    return (
+        s.str.replace("\\", "\\\\", regex=False)
+        .str.replace("'", "\\'", regex=False)
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\n", "\\n", regex=False)
+        .str.replace("\r", "\\r", regex=False)
+        .str.replace("\x00", "\\0", regex=False)
+        .str.replace("\x1a", "\\Z", regex=False)
+    )
 
 
 def sql_literal(c: Column) -> Column:
@@ -197,13 +215,7 @@ def render_multi_row_inserts(
     ).sortWithinPartitions("seq")
 
     def esc(s: pd.Series) -> pd.Series:
-        return (
-            s.astype("string")
-            .str.replace("\\", "\\\\", regex=False)
-            .str.replace("'", "\\'", regex=False)
-            .str.replace("\n", "\\n", regex=False)
-            .str.replace("\r", "\\r", regex=False)
-        )
+        return _esc_pandas(s.astype("string"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         col_list = "(" + ",".join(f"`{c}`" for c in cols) + ")"
@@ -257,16 +269,8 @@ def render_sql_arrow(
         *[F.col(f"after.{c}").alias(f"a_{c}") for c in cols],
     )
 
-    def esc(s: pd.Series) -> pd.Series:
-        return (
-            s.str.replace("\\", "\\\\", regex=False)
-            .str.replace("'", "\\'", regex=False)
-            .str.replace("\n", "\\n", regex=False)
-            .str.replace("\r", "\\r", regex=False)
-        )
-
     def lit(s: pd.Series) -> pd.Series:
-        quoted = "'" + esc(s.astype("string")) + "'"
+        quoted = "'" + _esc_pandas(s.astype("string")) + "'"
         return quoted.fillna("NULL")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

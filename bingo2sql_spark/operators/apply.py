@@ -366,9 +366,16 @@ class IcebergLiteTable:
 
     def _bucket_footer_stats(self, snap_dir: str) -> dict[str, dict[str, Any]]:
         """Per-bucket lineage from parquet COLUMN STATISTICS (no data
-        read): max absorbed `_ingest_seq` and source log position.
-        Using per-column maxima is sound because the binlog order is
-        monotone in (log_file, log_pos) and seq is its flattening."""
+        read): max absorbed `_ingest_seq` and its source log position.
+
+        The (log_file, log_pos) pair is taken from the ROW GROUP that
+        owns the max `_ingest_seq` — log_pos resets per binlog file, so
+        independent per-column maxima could pair the latest file with a
+        higher position from an earlier file (a position no real event
+        has). Within one row group the pairing IS sound: binlog order is
+        monotone in (log_file, log_pos) and seq is its flattening, so
+        the group's max-seq event also holds the group's lexicographic
+        max (log_file, log_pos)."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict[str, Any]] = {}
@@ -376,7 +383,8 @@ class IcebergLiteTable:
             if not d.startswith("pbucket="):
                 continue
             bk = d.split("=", 1)[1]
-            max_seq, max_file, max_pos, rows = None, None, None, 0
+            best = None  # (max_seq, log_file, log_pos) of the owning row group
+            rows = 0
             bdir = os.path.join(snap_dir, d)
             for fn in os.listdir(bdir):
                 if not fn.endswith(".parquet"):
@@ -389,25 +397,20 @@ class IcebergLiteTable:
 
                     def stat_max(col: str):
                         s = g.column(idx[col]).statistics
-                        return s.max if s is not None and s.has_min_max else None
+                        v = s.max if s is not None and s.has_min_max else None
+                        return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
 
-                    for col, cur in (("_ingest_seq", max_seq), ("_log_file", max_file), ("_log_pos", max_pos)):
-                        v = stat_max(col)
-                        if v is None:
-                            continue
-                        if isinstance(v, bytes):
-                            v = v.decode("utf-8", "replace")
-                        if col == "_ingest_seq":
-                            max_seq = v if max_seq is None else max(max_seq, v)
-                        elif col == "_log_file":
-                            max_file = v if max_file is None else max(max_file, v)
-                        else:
-                            max_pos = v if max_pos is None else max(max_pos, v)
+                    seq = stat_max("_ingest_seq")
+                    if seq is None:
+                        continue
+                    if best is None or seq > best[0]:
+                        best = (seq, stat_max("_log_file"), stat_max("_log_pos"))
             if rows:
+                seq, lf, lp = best if best else (None, None, None)
                 out[bk] = {
-                    "max_seq": int(max_seq) if max_seq is not None else None,
-                    "log_file": max_file,
-                    "log_pos": int(max_pos) if max_pos is not None else None,
+                    "max_seq": int(seq) if seq is not None else None,
+                    "log_file": lf,
+                    "log_pos": int(lp) if lp is not None else None,
                     "rows": rows,
                 }
         return out

@@ -89,10 +89,10 @@ def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
                 continue
 
             def feat(payload) -> list[float]:
-                if payload is None:
+                if payload is None or len(payload) == 0:
                     return [0.0] * FEATURE_DIM
                 b = bytes(payload)
-                n = max(len(b), 1)
+                n = len(b)
                 # deterministic stand-in for codec features
                 return [
                     float(len(b)),

@@ -55,11 +55,28 @@ def decode_events(raw: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -> Data
 def unsigned_fixup(s: pd.Series, bits: int) -> pd.Series:
     """T7 — two's-complement reinterpretation for unsigned columns that
     a signed decoder mangled (processValue core/parser.go:1322-1360:
-    negative raw value -> 1<<bits + v). Vectorized pandas."""
-    out = s.astype("float64")
-    neg = out < 0
-    out[neg] = out[neg] + float(1 << bits)
-    return out.astype("int64")
+    negative raw value -> 1<<bits + v). Pure INTEGER arithmetic:
+
+    - bits <= 32: the result fits int64, computed on nullable Int64
+      (no float64 round-trip — values above 2^53 stay exact).
+    - bits == 64: unsigned BIGINT does NOT fit int64 (the reference's
+      MaxUint64 case, core/parser.go:1352-1358; SURVEY §1.2 maps it to
+      DecimalType(20,0)) — returns decimal.Decimal objects, exact over
+      the full uint64 range, ready for a DecimalType(20,0) column."""
+    iv = s.astype("Int64")
+    if bits < 64:
+        return iv.mask(iv < 0, iv + (1 << bits))
+    import decimal
+
+    two64 = decimal.Decimal(1 << 64)
+    # NB: not Series.map — pandas routes Int64 maps through float64,
+    # corrupting values past 2^53. tolist() yields exact Python ints.
+    out = [
+        None if v is None or v is pd.NA
+        else (decimal.Decimal(v) + two64 if v < 0 else decimal.Decimal(v))
+        for v in iv.tolist()
+    ]
+    return pd.Series(out, index=s.index, dtype="object")
 
 
 ZERO_DATE = "0000-00-00 00:00:00"

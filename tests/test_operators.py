@@ -50,6 +50,30 @@ def test_unsigned_fixup():
     assert list(unsigned_fixup(s, 8)) == [255, 128, 5, 0]
     s2 = pd.Series([-1], dtype="int64")
     assert list(unsigned_fixup(s2, 32)) == [4294967295]
+    # exactness past float64's 2^53 integer range (the old float round-
+    # trip corrupted these): 2^53+1 must survive a 32-bit fixup untouched
+    s3 = pd.Series([(1 << 53) + 1, -(1 << 31)], dtype="int64")
+    assert list(unsigned_fixup(s3, 32)) == [(1 << 53) + 1, 1 << 31]
+
+
+def test_unsigned_fixup_u64_decimal():
+    """bits=64 (BIGINT UNSIGNED, core/parser.go:1352-1358): result
+    exceeds int64 — exact Decimal over the full uint64 range, incl. the
+    2^63 +/- 1 boundary and MaxUint64 (-1 raw)."""
+    import decimal
+
+    import pandas as pd
+
+    raw = pd.Series([-1, -(1 << 63), (1 << 63) - 1, 0, None], dtype="Int64")
+    got = list(unsigned_fixup(raw, 64))
+    assert got[0] == decimal.Decimal((1 << 64) - 1)  # MaxUint64
+    assert got[1] == decimal.Decimal(1 << 63)  # 2^63 (min negative)
+    assert got[2] == decimal.Decimal((1 << 63) - 1)  # 2^63-1 stays
+    assert got[3] == decimal.Decimal(0)
+    assert got[4] is None
+    assert all(isinstance(v, decimal.Decimal) for v in got[:4])
+    # fits a Spark DecimalType(20,0) column: uint64 range, integral
+    assert all(0 <= int(v) <= (1 << 64) - 1 for v in got[:4])
 
 
 def test_render_golden_shapes(spark, small_events):
@@ -103,7 +127,7 @@ def test_render_escaping(spark):
             (
                 1, "bin.1", 4, "u", 1, datetime(2024, 1, 1), 1, "test", "repo_files", "insert",
                 None,
-                ("r'1", "a\\b", "c1", "go", "x'y\\z\nq", None),
+                ("r'1", "a\\b", "c1", "go", "x'y\\z\nq\x00u\x1av\"w", None),
                 None, 1,
             )
         ],
@@ -112,7 +136,32 @@ def test_render_escaping(spark):
     sql = render_sql(env).collect()[0]["sql"]
     assert "'r\\'1'" in sql
     assert "'a\\\\b'" in sql
-    assert "x\\'y\\\\z\\nq" in sql
+    # full escapeBytesBackslash set: NUL -> \0, Ctrl-Z -> \Z, " -> \"
+    assert "x\\'y\\\\z\\nq\\0u\\Zv\\\"w" in sql
+    assert "\x00" not in sql and "\x1a" not in sql
+
+
+def test_render_arrow_escaping_matches_expr(spark):
+    """The pandas renderer escapes the same character set."""
+    from datetime import datetime
+
+    from bingo2sql_spark import schema as S
+    from bingo2sql_spark.functions.render import render_sql, render_sql_arrow
+
+    env = spark.createDataFrame(
+        [
+            (
+                1, "bin.1", 4, "u", 1, datetime(2024, 1, 1), 1, "test", "repo_files", "insert",
+                None,
+                ("r1", "p1", "c1", "go", "a\x00b\x1ac\"d'e\\f\ng\rh", None),
+                None, 1,
+            )
+        ],
+        S.envelope_schema(),
+    )
+    a = render_sql(env).collect()[0]["sql"]
+    b = render_sql_arrow(env).collect()[0]["sql"]
+    assert a == b
 
 
 def test_minimal_row_image_changed_cols(spark):
