@@ -429,7 +429,7 @@ def _q_ann_lsh(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64)
+    return SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64, probe_bits=1)
 
 
 def _q_agg_pricing_summary(spark, sf_dir):
@@ -540,7 +540,7 @@ def _q_embedding_near_dup(spark, sf_dir):
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    return SIM.cosine_near_dup_pairs(doubled, threshold_scaled=900000, n_planes=4, dim=64)
+    return SIM.cosine_near_dup_pairs(doubled, threshold_scaled=900000, n_planes=8, dim=64)
 
 
 def _q_multimodal_meta(spark, sf_dir):
@@ -613,21 +613,30 @@ def _bucket_expr_sql(col: str, n_planes: int = 4) -> str:
     return " || ".join(bits)
 
 
-def _lsh_oracle() -> str:
-    """Mirror of similarity.srp_bucket with the same md5-derived ±1
-    weights, generated here so both sides share one definition."""
-
-    def bucket_expr(col):
-        return _bucket_expr_sql(col, 4)
+def _lsh_oracle(n_planes: int = 4) -> str:
+    """Mirror of similarity.lsh_topk (same md5-derived ±1 weights,
+    generated here so both sides share one definition), including
+    one-bit multi-probe: each query probes its own bucket plus the
+    n_planes buckets at Hamming distance 1."""
+    probes = ["SELECT query_id, qv, bkt AS pbkt FROM q"]
+    for j in range(n_planes):
+        flip = (
+            f"substr(bkt,1,{j}) || "
+            f"(CASE WHEN substr(bkt,{j + 1},1)='1' THEN '0' ELSE '1' END) || "
+            f"substr(bkt,{j + 2})"
+        )
+        probes.append(f"SELECT query_id, qv, {flip} AS pbkt FROM q")
+    probe_union = "\n  UNION ALL ".join(probes)
 
     return f"""
-WITH v AS (SELECT vec_id, embedding, {bucket_expr('embedding')} AS bkt FROM embeddings),
+WITH v AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding', n_planes)} AS bkt FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM v WHERE vec_id%100=0),
+p AS ({probe_union}),
 s AS (
-  SELECT q.query_id, v.vec_id AS neighbor_id,
+  SELECT p.query_id, v.vec_id AS neighbor_id,
          CAST(list_dot_product(list_transform(v.embedding, x->round(cast(x AS double)*1000)),
-                               list_transform(q.qv,        x->round(cast(x AS double)*1000))) AS BIGINT) AS dot_scaled
-  FROM v JOIN q ON v.bkt = q.bkt
+                               list_transform(p.qv,        x->round(cast(x AS double)*1000))) AS BIGINT) AS dot_scaled
+  FROM v JOIN p ON v.bkt = p.pbkt
 )
 SELECT query_id, neighbor_id, dot_scaled, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_scaled DESC, neighbor_id) AS rank FROM s
@@ -896,7 +905,7 @@ SELECT query_id, neighbor_id, dot_scaled, rank FROM (
     q["dedup_embedding_cosine"] = f"""
 WITH d AS (SELECT vec_id, embedding FROM embeddings
            UNION ALL SELECT vec_id+100000, embedding FROM embeddings),
-v AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding', 4)} AS bkt FROM d)
+v AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding', 8)} AS bkt FROM d)
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(list_dot_product(list_transform(a.embedding, x->round(cast(x AS double)*1000)),

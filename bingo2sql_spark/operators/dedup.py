@@ -96,6 +96,7 @@ def minhash_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` bands of k/bands rows;
     docs sharing any band digest become candidate pairs (id_a < id_b).
@@ -103,7 +104,12 @@ def minhash_candidate_pairs(
     Scale shape: explode to (band_id, band_digest, doc) — the groupBy on
     the digest is the only shuffle; a self-join *within* buckets yields
     pairs. Hot buckets (boilerplate docs) are the skew risk — AQE skew
-    join handles it, and a bucket-size cap can drop degenerate buckets."""
+    join spreads them, and `max_bucket_size` drops degenerate buckets
+    outright (a bucket of B docs yields B^2/2 pairs; at web scale a
+    boilerplate band with 10^6 members is 5*10^11 pairs — dropping it
+    loses only pairs whose OTHER bands also degenerate, standard
+    near-dup practice). Capped pairs may still surface via the doc's
+    other bands."""
     rows_per_band = k // bands
     sig = minhash_signature(docs, text_col, id_col, k, shingle_n)
     band_cols = [
@@ -118,6 +124,14 @@ def minhash_candidate_pairs(
     exploded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bd")).select(
         F.col(id_col), F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest")
     )
+    if max_bucket_size:
+        ok = (
+            exploded.groupBy("band", "digest")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "digest")
+        )
+        exploded = exploded.join(ok, ["band", "digest"], "left_semi")
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (

@@ -1,0 +1,170 @@
+"""Similarity / embedding-dedup operator tests: vectorized-vs-expr
+differentials, LSH recall with multi-probe, and the degenerate-bucket
+caps that keep the pair blow-up bounded at web scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bingo2sql_spark.operators import dedup as DD
+from bingo2sql_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    df = df.cache()
+    df.count()
+    return df
+
+
+def test_dot_int_arrow_matches_expr(spark, embeddings):
+    """The einsum pandas UDF is bit-identical to the Column HOF."""
+    pairs = embeddings.alias("a").join(
+        embeddings.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id")
+    )
+    both = pairs.select(
+        SIM.dot_int(F.col("a.embedding"), F.col("b.embedding")).alias("d1"),
+        SIM.dot_int_arrow(F.col("a.embedding"), F.col("b.embedding")).alias("d2"),
+    )
+    assert both.filter("d1 <> d2").count() == 0
+    assert both.count() > 0
+
+
+def test_cosine_near_dup_pairs_matches_join_formulation(spark, embeddings):
+    """The per-bucket matmul (applyInPandas) produces exactly the pairs
+    of the reference within-bucket join + per-pair dot formulation."""
+    doubled = embeddings.unionByName(
+        embeddings.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    fast = SIM.cosine_near_dup_pairs(doubled, threshold_scaled=900000, n_planes=8)
+    # slow reference: explicit join within buckets, HOF dot per pair
+    vb = SIM.with_srp_bucket_arrow(doubled, "embedding", 8, 64).select(
+        "vec_id", "embedding", "_bucket"
+    )
+    a, b = vb.alias("a"), vb.alias("b")
+    slow = (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            SIM.dot_int(F.col("a.embedding"), F.col("b.embedding")).alias("dot_scaled"),
+        )
+        .filter(F.col("dot_scaled") >= 900000)
+    )
+    got = {tuple(r) for r in fast.collect()}
+    want = {tuple(r) for r in slow.collect()}
+    assert got == want
+    # every exact twin is found (twins share every SRP bucket)
+    n = embeddings.count()
+    twins = {(r["vec_id"], r["vec_id"] + 100000) for r in embeddings.select("vec_id").collect()}
+    assert twins <= {(a_, b_) for a_, b_, _ in got}
+    assert len(want) >= n
+
+
+def test_cosine_near_dup_bucket_cap(spark, embeddings):
+    """max_bucket_size drops only the over-cap buckets' pairs."""
+    doubled = embeddings.unionByName(
+        embeddings.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    full = SIM.cosine_near_dup_pairs(doubled, threshold_scaled=900000, n_planes=2)
+    capped = SIM.cosine_near_dup_pairs(
+        doubled, threshold_scaled=900000, n_planes=2, max_bucket_size=5
+    )
+    sizes = {
+        r["_bucket"]: r["count"]
+        for r in SIM.with_srp_bucket_arrow(doubled, "embedding", 2, 64)
+        .groupBy("_bucket")
+        .count()
+        .collect()
+    }
+    over = {b for b, c in sizes.items() if c > 5}
+    assert over, "fixture should produce at least one over-cap bucket at n_planes=2"
+    got_full = full.count()
+    got_capped = capped.count()
+    if len(over) == len(sizes):
+        assert got_capped == 0
+    else:
+        assert got_capped < got_full
+
+
+def test_lsh_topk_neardup_recall_on_doubled_corpus(spark, embeddings):
+    """At the bench config (n_planes=4, probe_bits=1), every TRUE
+    near-duplicate (the exact twin in the doubled corpus, dot ~ 1e6) is
+    retrieved — twins share every SRP bucket, so near-dup recall is 1.0
+    regardless of probing. Also: probing strictly improves generic
+    top-5 recall and never duplicates a (query, neighbor) pair."""
+    doubled = embeddings.unionByName(
+        embeddings.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    queries = embeddings.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got1 = SIM.lsh_topk(doubled, queries, k=5, n_planes=4, probe_bits=1)
+    rows = got1.collect()
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    twin_hits = sum(1 for qid, nb in by_q.items() if qid + 100000 in nb)
+    assert twin_hits / len(by_q) >= 0.95  # near-dup recall
+    # no duplicated pairs from probing
+    assert len(rows) == sum(len(v) for v in by_q.values())
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    got0 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(embeddings, queries, k=5, n_planes=4, probe_bits=0).collect()
+    }
+    gotp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.lsh_topk(embeddings, queries, k=5, n_planes=4, probe_bits=1).collect()
+    }
+    assert len(gotp & truth) >= len(got0 & truth)
+
+
+def test_lsh_topk_multitable_recall(spark, embeddings):
+    """Generic ANN recall >= 0.95 vs brute force with the scale knobs
+    engaged: 4 tables x 4 planes + one-bit probing (recall compounds as
+    1-(1-p)^L across independent tables)."""
+    queries = embeddings.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(embeddings, queries, k=5).collect()
+    }
+    got = SIM.lsh_topk(
+        embeddings, queries, k=5, n_planes=4, probe_bits=1, n_tables=4
+    )
+    rows = got.collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.95, f"multi-table recall {recall:.3f} < 0.95"
+    # cross-table collisions are deduped
+    assert len(rows) == len(pairs)
+
+
+def test_minhash_bucket_cap(spark):
+    """A boilerplate band bucket above the cap is dropped; distinct
+    near-dup groups below the cap keep their pairs."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit") for i in range(20)]
+    pair = [
+        (100, "completely different unique text alpha beta gamma delta epsilon"),
+        (101, "completely different unique text alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(boiler + pair, ["doc_id", "text"])
+    uncapped = DD.minhash_candidate_pairs(docs, k=4, bands=2)
+    capped = DD.minhash_candidate_pairs(docs, k=4, bands=2, max_bucket_size=10)
+    assert uncapped.filter("id_a < 100").count() == 20 * 19 // 2
+    assert capped.filter("id_a < 100").count() == 0  # boilerplate dropped
+    assert capped.filter("id_a = 100 and id_b = 101").count() == 1  # small group kept
