@@ -543,6 +543,43 @@ def _q_embedding_near_dup(spark, sf_dir):
     return SIM.cosine_near_dup_pairs(doubled, threshold_scaled=900000, n_planes=8, dim=64)
 
 
+def _q_render_ddl(spark, sf_dir):
+    """DDL passthrough text (core/parser.go:2314-2339): op='ddl' events
+    with a statement column render as `USE \`db\`;\n<ddl>;`."""
+    from bingo2sql_spark.functions.render import render_sql
+
+    env = _events_env(spark, sf_dir).filter(F.col("op") == "ddl")
+    null_img = F.lit(None).cast(
+        "struct<repo:string,path:string,commit:string,lang:string,content:string,branch:string>"
+    )
+    stmt = F.concat(
+        F.lit("ALTER TABLE `"), F.col("db"), F.lit("`.`"), F.col("table"),
+        F.lit("` COMMENT 'e"), F.col("event_id").cast("string"), F.lit("'"),
+    )
+    env = env.select(
+        F.col("event_id").alias("seq"),
+        "gtid_uuid",
+        F.col("gno"),
+        "ts",
+        "thread_id",
+        "db",
+        "table",
+        "op",
+        null_img.alias("before"),
+        null_img.alias("after"),
+        stmt.alias("statement"),
+    )
+    return render_sql(env).select("seq", "sql")
+
+
+def _q_render_multi_insert(spark, sf_dir):
+    """--minimal-insert: consecutive same-table INSERTs collapse into
+    multi-row VALUES statements anchored at the first row's seq."""
+    from bingo2sql_spark.functions.render import render_multi_row_inserts
+
+    return render_multi_row_inserts(_doc_events(spark, sf_dir), batch_rows=100)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "UTF-8")
@@ -570,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_render_insert_sql": _q_render_insert,
         "cdc_render_update_minimal": _q_render_update_minimal,
         "cdc_render_delete_sql": _q_render_delete,
+        "cdc_render_ddl": _q_render_ddl,
+        "cdc_render_multi_insert": _q_render_multi_insert,
         "cdc_output_decoration": _q_decoration,
         "dedup_exact": _q_dedup_exact,
         "dedup_fingerprint": _q_dedup_fingerprint,
@@ -785,6 +824,28 @@ FROM _ev WHERE op='update'
 SELECT seq,
   'DELETE FROM `test`.`repo_files` WHERE `repo`=' || {L("repo")} || ' AND `path`=' || {L("path")} || ';' AS sql
 FROM _ev WHERE op='delete'
+"""
+    )
+    q["cdc_render_ddl"] = (
+        _EEV
+        + """
+SELECT event_id AS seq,
+       'USE `' || db || '`;' || chr(10) ||
+       'ALTER TABLE `' || db || '`.`' || "table" || '` COMMENT ''e' || cast(event_id AS varchar) || ''';' AS sql
+FROM _eev WHERE op = 'ddl'
+"""
+    )
+    tup = "'(' || " + " || ',' || ".join(L(c) for c in cols) + " || ',NULL)'"
+    q["cdc_render_multi_insert"] = (
+        _EV
+        + f"""
+SELECT seq,
+       'INSERT INTO `test`.`repo_files`({collist}) VALUES' || vals || ';' AS sql
+FROM (
+  SELECT min(seq) AS seq, string_agg(tup, ',' ORDER BY seq) AS vals
+  FROM (SELECT seq, (row_number() OVER (ORDER BY seq) - 1)//100 AS chunk, {tup} AS tup
+        FROM _ev WHERE op='insert')
+  GROUP BY chunk)
 """
     )
     q["cdc_output_decoration"] = (

@@ -84,6 +84,7 @@ def render_sql(
     payload_cols: list[str] | None = None,
     minimal_update: bool = True,
     no_primary_key: bool = False,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Envelope -> (seq, sql) rows. Semantics per reference:
 
@@ -93,7 +94,12 @@ def render_sql(
     - DELETE (T2): WHERE on the key columns of the before image.
     - UPDATE (T3): SET <changed or all cols from after> WHERE <keys from
       before>; minimal_update diffs before/after per column
-      (core/parser.go:1367-1497)."""
+      (core/parser.go:1367-1497).
+    - DDL (F8 upgraded to T): when the stream carries a `statement`
+      column, op='ddl' rows emit `USE \`db\`;\n<ddl>;` (the reference's
+      Query-event passthrough, core/parser.go:2314-2339) instead of
+      being silently dropped from the SQL file. DDL is never inverted —
+      flashback paths filter it out before rendering."""
     cols = payload_cols or [c for c in S.payload_columns() ]
     ins_cols = [c for c in cols if not (no_primary_key and c in KEY_COLS)]
 
@@ -124,32 +130,87 @@ def render_sql(
         .when(F.col("op") == S.OP_DELETE, delete_sql)
         .when(F.col("op") == S.OP_UPDATE, update_sql)
     )
-    return events.filter(F.col("op").isin(list(S.DML_OPS))).select(
-        "seq", "gtid_uuid", "gno", "ts", "thread_id", sql.alias("sql")
+    keep = F.col("op").isin(list(S.DML_OPS))
+    if "statement" in events.columns:
+        ddl_sql = F.concat(
+            F.lit("USE `"),
+            F.col("db"),
+            F.lit("`;\n"),
+            F.regexp_replace(F.col("statement"), r";\s*$", ""),
+            F.lit(";"),
+        )
+        sql = sql.when(F.col("op") == S.OP_DDL, ddl_sql)
+        keep = keep | ((F.col("op") == S.OP_DDL) & F.col("statement").isNotNull())
+    return events.filter(keep).select(
+        "seq", "gtid_uuid", "gno", "ts", "thread_id", sql.alias("sql"), *(extra_cols or [])
     )
 
 
-def decorate(rendered: DataFrame, show_gtid: bool = True, show_time: bool = True) -> DataFrame:
+def decorate(
+    rendered: DataFrame,
+    show_gtid: bool = True,
+    show_time: bool = True,
+    time_mode: str = "second",
+    block_size: int = 1 << 16,
+) -> DataFrame:
     """S6 — output decoration (myWrite core/parser.go:674-724): a GTID
     comment line when the GTID changes, `; # <ts>` appended on the first
-    row of each second. Single-writer funnel replaced by a window over
-    the global order."""
-    w = Window.orderBy("seq")
+    row of each second (`time_mode="second"`) or on EVERY row
+    (`time_mode="row"`, the reference's every-row option).
+
+    Scale shape: a global `Window.orderBy(seq)` funnels the whole
+    dataset into ONE task — a single-task OOM at 100x. Instead the lag
+    runs per seq-block (`partitionBy(floor(seq/block_size))`, a
+    parallel hash-partitioned window), and each block's FIRST row is
+    patched with a carry — the (gtid, sec) of the last row of the
+    nearest preceding non-empty block, computed on the tiny per-block
+    aggregate (N/block_size rows; its single-partition window is
+    metadata-scale) and broadcast back. Identical output to the global
+    window, including across block-spanning seq gaps."""
     out = rendered
+    gtid = F.concat(F.col("gtid_uuid"), F.lit(":"), F.col("gno").cast("string"))
+    sec = F.date_trunc("second", F.col("ts"))
+    time_fmt = F.concat(F.lit("; # "), F.date_format(sec, "yyyy-MM-dd HH:mm:ss"))
+    if show_time and time_mode == "row":
+        out = out.withColumn("time_comment", time_fmt)
+        show_time = False  # no lag needed for the every-row mode
+    if not (show_gtid or show_time):
+        return out
+
+    out = (
+        out.withColumn("_g", gtid)
+        .withColumn("_s", sec)
+        .withColumn("_blk", F.floor(F.col("seq") / F.lit(block_size)))
+    )
+    w = Window.partitionBy("_blk").orderBy("seq")
+    # carry: last (gtid, sec) of each non-empty block, then shift to the
+    # NEXT non-empty block (tiny df — one row per block)
+    carry = (
+        out.groupBy("_blk")
+        .agg(F.max_by(F.struct(F.col("_g"), F.col("_s")), F.col("seq")).alias("_c"))
+        .select(
+            "_blk",
+            F.lag("_c").over(Window.orderBy("_blk")).alias("_prev"),
+        )
+    )
+    out = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_lag_g", F.lag("_g").over(w))
+        .withColumn("_lag_s", F.lag("_s").over(w))
+        .join(F.broadcast(carry), "_blk", "left")
+    )
+    first = F.col("_rn") == 1
+    prev_g = F.when(first, F.col("_prev._g")).otherwise(F.col("_lag_g"))
+    prev_s = F.when(first, F.col("_prev._s")).otherwise(F.col("_lag_s"))
     if show_gtid:
-        gtid = F.concat(F.col("gtid_uuid"), F.lit(":"), F.col("gno").cast("string"))
-        new_gtid = F.lag(gtid).over(w).isNull() | (F.lag(gtid).over(w) != gtid)
+        new_gtid = prev_g.isNull() | (prev_g != F.col("_g"))
         out = out.withColumn(
-            "gtid_comment", F.when(new_gtid, F.concat(F.lit("# GTID "), gtid))
+            "gtid_comment", F.when(new_gtid, F.concat(F.lit("# GTID "), F.col("_g")))
         )
     if show_time:
-        sec = F.date_trunc("second", F.col("ts"))
-        new_sec = F.lag(sec).over(w).isNull() | (F.lag(sec).over(w) != sec)
-        out = out.withColumn(
-            "time_comment",
-            F.when(new_sec, F.concat(F.lit("; # "), F.date_format(sec, "yyyy-MM-dd HH:mm:ss"))),
-        )
-    return out
+        new_sec = prev_s.isNull() | (prev_s != F.col("_s"))
+        out = out.withColumn("time_comment", F.when(new_sec, time_fmt))
+    return out.drop("_g", "_s", "_blk", "_rn", "_lag_g", "_lag_s", "_prev")
 
 
 def write_sql_file(
@@ -159,7 +220,10 @@ def write_sql_file(
     flashback: bool = False,
     show_gtid: bool = True,
     show_time: bool = True,
+    time_mode: str = "second",
     minimal_update: bool = True,
+    minimal_insert: bool = False,
+    batch_rows: int = 100,
     compression: str | None = None,
 ) -> None:
     """S5/S7 — the reference's user-facing artifact: an ordered SQL text
@@ -175,7 +239,14 @@ def write_sql_file(
     from bingo2sql_spark.operators import flashback as FB
 
     ev = FB.invert(events) if flashback else events
-    rendered = decorate(render_sql(ev, minimal_update=minimal_update), show_gtid, show_time)
+    if minimal_insert and not flashback:
+        rendered = render_sql_inline(ev, minimal_update=minimal_update, batch_rows=batch_rows)
+    else:
+        # flashback inverts inserts into deletes, so there is nothing to
+        # batch on the rollback path (reference likewise only batches
+        # forward inserts)
+        rendered = render_sql(ev, minimal_update=minimal_update)
+    rendered = decorate(rendered, show_gtid, show_time, time_mode)
     line = F.concat_ws(
         "\n",
         *( [F.col("gtid_comment")] if show_gtid else [] ),
@@ -193,60 +264,153 @@ def write_sql_file(
     w.text(out_dir)
 
 
+def with_insert_runs(events: DataFrame, block_size: int = 1 << 16) -> DataFrame:
+    """Adds `_run`: an id shared by each maximal run of CONSECUTIVE
+    (in seq order) same-(db,table) INSERT events — the unit the
+    reference's `--minimal-insert` batches into one multi-row statement
+    (core/parser.go:1164-1240). A run breaks on ANY intervening event
+    (update/delete/ddl, or an insert into another table), so replaying
+    the batched output in seq order can never reorder an insert past a
+    statement it originally preceded.
+
+    Scalable prefix computation (no global window): the break flag
+    needs the PREVIOUS event and the run id is a running sum of breaks —
+    both are computed per seq-block with a hash-partitioned window, and
+    block boundaries are patched from two metadata-scale per-block
+    aggregates (last row per block; cumulative break totals) broadcast
+    back. Non-insert rows get singleton run ids and are simply never
+    batched."""
+    ev = events.withColumn("_blk", F.floor(F.col("seq") / F.lit(block_size)))
+    w = Window.partitionBy("_blk").orderBy("seq")
+    prev_struct = F.struct(F.col("op"), F.col("db"), F.col("table"))
+    carry = (
+        ev.groupBy("_blk")
+        .agg(F.max_by(prev_struct, F.col("seq")).alias("_c"))
+        .select("_blk", F.lag("_c").over(Window.orderBy("_blk")).alias("_pc"))
+    )
+    ev = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_lagp", F.lag(prev_struct).over(w))
+        .join(F.broadcast(carry), "_blk", "left")
+    )
+    prev = F.when(F.col("_rn") == 1, F.col("_pc")).otherwise(F.col("_lagp"))
+    extends = (
+        (F.col("op") == S.OP_INSERT)
+        & (prev["op"] == S.OP_INSERT)
+        & (prev["db"] == F.col("db"))
+        & (prev["table"] == F.col("table"))
+    )
+    ev = ev.withColumn("_brk", F.when(F.coalesce(extends, F.lit(False)), 0).otherwise(1))
+    local = F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    cum = (
+        ev.groupBy("_blk")
+        .agg(F.sum("_brk").alias("_tot"))
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_carrysum"),
+        )
+    )
+    ev = ev.join(F.broadcast(cum), "_blk").withColumn(
+        "_run", local + F.col("_carrysum")
+    )
+    return ev.drop("_blk", "_rn", "_lagp", "_pc", "_brk")
+
+
+def _batched_insert_stmts(
+    runs: DataFrame, payload_cols: list[str], batch_rows: int, no_primary_key: bool = False
+) -> DataFrame:
+    """Multi-row INSERT statements from a `with_insert_runs` stream:
+    one statement per (run, batch_rows-chunk), anchored at the run
+    chunk's first event (seq + header columns), tuples in seq order.
+    All JVM-side: the only added shuffle is the groupBy on run ids (runs
+    are seq-contiguous, so the exchange is skew-bounded by run length,
+    which batch_rows chunking caps per output row)."""
+    ins_cols = [c for c in payload_cols if not (no_primary_key and c in KEY_COLS)]
+    values = F.concat_ws(",", *[sql_literal(F.col(f"after.{c}")) for c in ins_cols])
+    ins = runs.filter(F.col("op") == S.OP_INSERT).select(
+        "seq", "gtid_uuid", "gno", "ts", "thread_id", "db", "table", "_run",
+        F.concat(F.lit("("), values, F.lit(")")).alias("_tuple"),
+    )
+    wrun = Window.partitionBy("_run").orderBy("seq")
+    ins = ins.withColumn("_chunk", F.floor((F.row_number().over(wrun) - 1) / batch_rows))
+    col_list = F.lit("(" + ",".join(f"`{c}`" for c in ins_cols) + ")")
+    anchor = F.min_by(
+        F.struct("gtid_uuid", "gno", "ts", "thread_id", "db", "table"), F.col("seq")
+    ).alias("_a")
+    g = ins.groupBy("_run", "_chunk").agg(
+        F.min("seq").alias("seq"),
+        anchor,
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "_tuple"))),
+                lambda x: x["_tuple"],
+            ),
+            ",",
+        ).alias("_vals"),
+    )
+    sql = F.concat(
+        F.lit("INSERT INTO "),
+        _qualified(F.col("_a.db"), F.col("_a.table")),
+        col_list,
+        F.lit(" VALUES"),
+        F.col("_vals"),
+        F.lit(";"),
+    )
+    return g.select(
+        "seq",
+        F.col("_a.gtid_uuid").alias("gtid_uuid"),
+        F.col("_a.gno").alias("gno"),
+        F.col("_a.ts").alias("ts"),
+        F.col("_a.thread_id").alias("thread_id"),
+        sql.alias("sql"),
+    )
+
+
+def render_sql_inline(
+    events: DataFrame,
+    payload_cols: list[str] | None = None,
+    minimal_update: bool = True,
+    no_primary_key: bool = False,
+    batch_rows: int = 100,
+    block_size: int = 1 << 16,
+) -> DataFrame:
+    """The reference's default statement stream (`--minimal-insert` ON,
+    core/parser.go:1164-1240): multi-row INSERT batches INLINE with
+    updates/deletes/DDL, correctly interleaved by seq — a batch anchors
+    at its first row's seq and never crosses a non-insert event or a
+    table change (with_insert_runs), so replaying the file in order is
+    equivalent to the per-row stream."""
+    cols = payload_cols or S.payload_columns()
+    runs = with_insert_runs(events, block_size)
+    others = render_sql(
+        runs.filter(F.col("op") != S.OP_INSERT),
+        cols,
+        minimal_update=minimal_update,
+        no_primary_key=no_primary_key,
+    )
+    batched = _batched_insert_stmts(runs, cols, batch_rows, no_primary_key)
+    return batched.unionByName(others)
+
+
 def render_multi_row_inserts(
     events: DataFrame,
     payload_cols: list[str] | None = None,
     batch_rows: int = 100,
 ) -> DataFrame:
-    """T1 `--minimal-insert` (default-on in the reference,
-    core/parser.go:1164-1240): consecutive INSERTs into the same table
-    become one multi-row `INSERT ... VALUES(...),(...)` statement.
-
-    "Consecutive" is per seq order; grouping is seq-range-partitioned
-    (repartitionByRange) so each statement covers a contiguous run and
-    batching never crosses a non-insert event. Output: (seq of first
-    row, sql)."""
+    """T1 `--minimal-insert` statements only (the insert side of
+    render_sql_inline). Pass the FULL event stream, not a pre-filtered
+    insert set: run boundaries are computed from the intervening
+    events, so same-table inserts separated by an UPDATE/DELETE land in
+    separate statements (reference batches only within one RowsEvent,
+    core/parser.go:1175-1240). Output: (seq of first row, sql)."""
     cols = payload_cols or S.payload_columns()
-    flat = events.filter(F.col("op") == S.OP_INSERT).select(
-        "seq", "db", "table", *[F.col(f"after.{c}").alias(f"a_{c}") for c in cols]
-    )
-    flat = flat.repartitionByRange(
-        max(1, flat.sparkSession.sparkContext.defaultParallelism), "seq"
-    ).sortWithinPartitions("seq")
-
-    def esc(s: pd.Series) -> pd.Series:
-        return _esc_pandas(s.astype("string"))
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        col_list = "(" + ",".join(f"`{c}`" for c in cols) + ")"
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vals = None
-            for c in cols:
-                lit = ("'" + esc(pdf[f"a_{c}"]) + "'").fillna("NULL")
-                vals = lit if vals is None else vals + "," + lit
-            pdf = pdf.assign(_tuple="(" + vals + ")")
-            # group key: same (db, table) AND same seq-run chunk
-            run = (
-                (pdf["db"] != pdf["db"].shift())
-                | (pdf["table"] != pdf["table"].shift())
-            ).cumsum()
-            chunk = pdf.groupby(run).cumcount() // batch_rows
-            g = pdf.groupby([run, chunk], sort=True)
-            out = g.agg(
-                seq=("seq", "min"),
-                db=("db", "first"),
-                table=("table", "first"),
-                values=("_tuple", ",".join),
-            )
-            out["sql"] = (
-                "INSERT INTO `" + out["db"] + "`.`" + out["table"] + "`"
-                + col_list + " VALUES" + out["values"] + ";"
-            )
-            yield out[["seq", "sql"]]
-
-    return flat.mapInPandas(gen, schema="seq long, sql string")
+    runs = with_insert_runs(events)
+    return _batched_insert_stmts(runs, cols, batch_rows).select("seq", "sql")
 
 
 def render_sql_arrow(

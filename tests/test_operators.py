@@ -252,27 +252,116 @@ def test_write_sql_file_ordered_and_decorated(spark, small_events, tmp_path):
     assert all(ln.startswith("DELETE FROM ") for ln in fb_lines)
 
 
+def test_decorate_blocked_equals_global_window(spark, small_events):
+    """The per-block lag + carry patch is row-identical to a global
+    Window.orderBy(seq) lag — including across seq gaps that span whole
+    empty blocks, and at block boundaries."""
+    from pyspark.sql import Window
+
+    from bingo2sql_spark.functions.render import decorate, render_sql
+
+    # tiny blocks + a filter that empties entire blocks
+    rendered = render_sql(small_events.filter("seq < 400 or seq > 900"))
+    got = {
+        r["seq"]: (r["gtid_comment"], r["time_comment"])
+        for r in decorate(rendered, block_size=64).collect()
+    }
+    w = Window.orderBy("seq")
+    gtid = F.concat(F.col("gtid_uuid"), F.lit(":"), F.col("gno").cast("string"))
+    sec = F.date_trunc("second", F.col("ts"))
+    ref = rendered.withColumn(
+        "gtid_comment",
+        F.when(
+            F.lag(gtid).over(w).isNull() | (F.lag(gtid).over(w) != gtid),
+            F.concat(F.lit("# GTID "), gtid),
+        ),
+    ).withColumn(
+        "time_comment",
+        F.when(
+            F.lag(sec).over(w).isNull() | (F.lag(sec).over(w) != sec),
+            F.concat(F.lit("; # "), F.date_format(sec, "yyyy-MM-dd HH:mm:ss")),
+        ),
+    )
+    want = {r["seq"]: (r["gtid_comment"], r["time_comment"]) for r in ref.collect()}
+    assert got == want
+    # time_mode="row": every row carries the timestamp comment
+    rows = decorate(rendered, time_mode="row", block_size=64).collect()
+    assert all(r["time_comment"] and r["time_comment"].startswith("; # 2024") for r in rows)
+
+
 def test_multi_row_insert_batching(spark, small_events):
     """--minimal-insert: consecutive same-table inserts collapse into one
-    multi-row VALUES statement (TestInsert core/parser_test.go:956-1006)."""
-    from bingo2sql_spark.functions.render import render_multi_row_inserts, render_sql
+    multi-row VALUES statement (TestInsert core/parser_test.go:956-1006).
+    Takes the FULL stream: run boundaries come from intervening events."""
+    from bingo2sql_spark.functions.render import render_multi_row_inserts
 
-    sample = small_events.filter("op = 'insert'")
-    n_inserts = sample.count()
-    batched = render_multi_row_inserts(sample, batch_rows=10).collect()
+    n_inserts = small_events.filter("op = 'insert'").count()
+    batched = render_multi_row_inserts(small_events, batch_rows=10).collect()
     # every source row appears exactly once across all statements
     total_tuples = sum(r["sql"].count("),(") + 1 for r in batched)
     assert total_tuples == n_inserts
     assert all(r["sql"].startswith("INSERT INTO `") and r["sql"].endswith(");") for r in batched)
     assert any(r["sql"].count("),(") > 0 for r in batched), "expected multi-row batches"
     assert all(r["sql"].count("),(") + 1 <= 10 for r in batched)
-    # values match the single-row renderer's VALUES clauses
-    singles = {
-        r["sql"].split(" VALUES(")[1][:-2]
-        for r in render_sql(sample.limit(50)).collect()
-    }
-    first_tuple = batched[0]["sql"].split(" VALUES(")[1].split("),(")[0].rstrip(");")
-    assert any(first_tuple == s for s in singles)
+
+
+def test_insert_batching_never_crosses_non_insert(spark):
+    """Same-table inserts separated by an intervening UPDATE land in
+    SEPARATE statements (reference batches only within one RowsEvent,
+    core/parser.go:1175-1240): replaying by seq preserves order."""
+    from datetime import datetime, timedelta
+
+    from bingo2sql_spark import schema as S
+    from bingo2sql_spark.functions.render import render_multi_row_inserts, render_sql_inline
+
+    def ev(seq, op, key):
+        img = (f"r{key}", f"p{key}", "c", "go", f"x{seq}", None)
+        t0 = datetime(2024, 1, 1) + timedelta(seconds=seq)
+        return (
+            seq, "bin.1", seq * 10, "u", seq, t0, 1, "test", "repo_files", op,
+            img if op != "insert" else None,
+            img if op != "delete" else None,
+            None, 1,
+        )
+
+    rows = [ev(0, "insert", 0), ev(1, "insert", 1), ev(2, "update", 0),
+            ev(3, "insert", 2), ev(4, "insert", 3), ev(5, "delete", 1),
+            ev(6, "insert", 4)]
+    env = spark.createDataFrame(rows, S.envelope_schema())
+    batched = {r["seq"]: r["sql"] for r in render_multi_row_inserts(env, batch_rows=10).collect()}
+    # three runs: {0,1}, {3,4}, {6} — the update/delete break them
+    assert set(batched) == {0, 3, 6}
+    assert batched[0].count("),(") == 1 and batched[3].count("),(") == 1
+    assert batched[6].count("),(") == 0
+    # inline stream: batches interleave correctly with updates/deletes
+    inline = sorted(
+        (r["seq"], r["sql"]) for r in render_sql_inline(env, batch_rows=10).collect()
+    )
+    assert [s for s, _ in inline] == [0, 2, 3, 5, 6]
+    assert inline[1][1].startswith("UPDATE ") and inline[3][1].startswith("DELETE ")
+
+
+def test_render_ddl_emission(spark):
+    """op='ddl' events with a statement column emit `USE db;\\n<ddl>;`
+    (core/parser.go:2314-2339) instead of silent omission; flashback
+    paths never render DDL."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark import schema as S
+    from bingo2sql_spark.functions.render import render_sql
+
+    base = spark.createDataFrame(
+        [(7, "bin.1", 4, "u", 7, datetime(2024, 1, 1), 1, "meta", "audit_log", "ddl",
+          None, None, None, 2)],
+        S.envelope_schema(),
+    ).withColumn("statement", F.lit("ALTER TABLE `meta`.`audit_log` ADD COLUMN x INT;"))
+    out = render_sql(base).collect()
+    assert len(out) == 1
+    assert out[0]["sql"] == "USE `meta`;\nALTER TABLE `meta`.`audit_log` ADD COLUMN x INT;"
+    # without a statement column, ddl rows are filtered (old behavior)
+    assert render_sql(base.drop("statement")).count() == 0
 
 
 def test_render_no_primary_key(spark, small_events):

@@ -164,3 +164,18 @@ def test_filters_push_below_decode(spark, small_events, tmp_path):
     # decode (from_json) must appear ABOVE the filter in the plan tree
     assert plan.index("from_json") < plan.index("FileScan")
     assert "Filter" in plan.split("from_json")[-1]
+
+
+def test_decorate_window_is_partitioned(spark, small_events):
+    """S6 decoration must not funnel the data path through a single
+    partition: the lag window hash-partitions on the seq block; only the
+    metadata-scale carry aggregate (one row per block) may see a
+    SinglePartition exchange."""
+    from bingo2sql_spark.functions.render import decorate, render_sql
+
+    plan = decorate(render_sql(small_events))._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_blk" in plan
+    # any single-partition exchange must sit above the per-block
+    # aggregate (max_by carry), never above the full-width stream
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        assert "max_by" in frag or "HashAggregate" in frag
