@@ -66,11 +66,12 @@ tmp = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir="/dev/shm" if os.path.isdi
 spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores,
                   extra_conf={{"spark.local.dir": tmp + "/spark-local"}})
 raw = spark.read.parquet(raw_dir)
+KEYS = ["repo", "path"]  # forward replay: narrow before-image decode
 warm = IcebergLiteTable(tmp + "/warm", n_buckets=8)
-replay(decode_events(raw.filter("seq % 50 = 0")), warm, batch_id="w", tables=["repo_files"])
+replay(decode_events(raw.filter("seq % 50 = 0"), before_fields=KEYS), warm, batch_id="w", tables=["repo_files"])
 t = IcebergLiteTable(tmp + "/tgt", n_buckets=64)
 t0 = time.time()
-replay(decode_events(raw), t, batch_id="b", tables=["repo_files"])
+replay(decode_events(raw, before_fields=KEYS), t, batch_id="b", tables=["repo_files"])
 secs = time.time() - t0
 print(json.dumps({{"cores": cores, "secs": round(secs, 3)}}))
 shutil.rmtree(tmp, ignore_errors=True)

@@ -43,7 +43,9 @@ def headline_replay(spark, n_events: int) -> dict:
                 spark, n_keys=n_keys, versions_per_key=8, n_repos=max(50, n_keys // 200)
             )
         ).write.mode("overwrite").parquet(src)
-        events = decode_events(spark.read.parquet(src))
+        # forward replay only needs merge keys from the before image:
+        # narrow the from_json schema (content dominates decode bytes)
+        events = decode_events(spark.read.parquet(src), before_fields=["repo", "path"])
 
         # JVM/codegen warmup on a small slice (reference methodology:
         # medians of 10 timed runs, docs/test.md) — one throwaway replay
@@ -104,7 +106,33 @@ def main() -> None:
         **head,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+    prev = _prev_round_queries()
+    if prev:
+        out["delta_vs_prev"] = {
+            q: round(t - prev[q], 3) for q, t in qtimes.items() if q in prev
+        }
     print(json.dumps(out))
+
+
+def _prev_round_queries() -> dict[str, float] | None:
+    """Per-query secs from the newest BENCH_r*.json (round-over-round
+    regression visibility; same-sf same-box caveats in BENCH/BASELINE.md)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not rounds:
+        return None
+    try:
+        with open(rounds[-1]) as f:
+            doc = json.load(f)
+        return (doc.get("parsed") or doc).get("queries")
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

@@ -39,13 +39,33 @@ _HEADER = [
 ]
 
 
-def decode_events(raw: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -> DataFrame:
+def decode_events(
+    raw: DataFrame,
+    schema_ver: int = S.LATEST_SCHEMA_VER,
+    before_fields: list[str] | None = None,
+) -> DataFrame:
     """JVM decode: JSON images -> typed structs of the requested schema
-    version (missing fields -> NULL, extra fields ignored = dropped)."""
+    version (missing fields -> NULL, extra fields ignored = dropped).
+
+    `before_fields` narrows the BEFORE-image parse to those fields (the
+    forward replay/MERGE path only ever reads the merge keys from the
+    before image — delete-row identity). Catalyst cannot prune this
+    automatically here: the full-schema from_json is referenced by
+    several GetStructFields, so CollapseProject keeps it materialized
+    and the JSON schema-pruning rule never fires. Narrowing the schema
+    explicitly skips tokenizing the payload columns (content dominates
+    bytes) — measurable decode savings at 10^10 events. Not for
+    flashback/render paths, which need the full before image."""
     payload = S.payload_schema(schema_ver)
+    before_schema = payload
+    if before_fields is not None:
+        from pyspark.sql import types as T
+
+        want = set(before_fields)
+        before_schema = T.StructType([f for f in payload.fields if f.name in want])
     return raw.select(
         *_HEADER,
-        F.from_json("before_json", payload).alias("before"),
+        F.from_json("before_json", before_schema).alias("before"),
         F.from_json("after_json", payload).alias("after"),
         "changed_cols",
         "schema_ver",
@@ -82,13 +102,25 @@ def unsigned_fixup(s: pd.Series, bits: int) -> pd.Series:
 ZERO_DATE = "0000-00-00 00:00:00"
 
 
-def decode_events_arrow(raw: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -> DataFrame:
+def decode_events_arrow(
+    raw: DataFrame,
+    schema_ver: int = S.LATEST_SCHEMA_VER,
+    column_codecs: dict[str, object] | None = None,
+) -> DataFrame:
     """Arrow decode: same output as decode_events, built in pandas.
-    This is where per-type codecs plug in (unsigned_fixup, zero-date
-    sentinels, ENUM/SET ints — cf. core/parser.go:1768-1858)."""
+    This is the per-type codec extension point (sources.codecs:
+    datetime-µs + zero-date, exact decimal, ENUM/SET/BIT, binary WKB,
+    JSON — cf. core/parser.go:1768-1858); `column_codecs` maps a payload
+    column name to a vectorized `pd.Series -> pd.Series` normalizer
+    applied to both images.
+
+    The JSON parse is batch-level, not per-row: each Arrow batch's image
+    column is joined into ONE JSON array string and parsed with a single
+    C-level json.loads call, then handled columnarly."""
     payload = S.payload_schema(schema_ver)
     fields = [f.name for f in payload.fields]
     out_schema = S.envelope_schema(schema_ver)
+    codecs = column_codecs or {}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,13 +128,33 @@ def decode_events_arrow(raw: DataFrame, schema_ver: int = S.LATEST_SCHEMA_VER) -
                 continue
 
             def parse(col: pd.Series) -> pd.Series:
-                def one(x):
-                    if x is None or (isinstance(x, float) and pd.isna(x)):
-                        return None
-                    d = json.loads(x)
-                    return {k: d.get(k) for k in fields}  # NULL-fill + drop
-
-                return col.map(one)
+                # one C-level parse for the whole batch (NULL -> null)
+                vals = col.tolist()
+                blob = "[" + ",".join(
+                    "null" if (v is None or (isinstance(v, float) and pd.isna(v))) else v
+                    for v in vals
+                ) + "]"
+                dicts = json.loads(blob)
+                if not codecs:
+                    return pd.Series(
+                        [None if d is None else {k: d.get(k) for k in fields} for d in dicts],
+                        index=col.index,
+                        dtype="object",
+                    )
+                # columnar codec pass: frame of only the present rows
+                present_idx = [i for i, d in enumerate(dicts) if d is not None]
+                frame = pd.DataFrame.from_records(
+                    [dicts[i] for i in present_idx], columns=fields
+                )
+                for c, codec in codecs.items():
+                    if c in frame.columns:
+                        frame[c] = codec(frame[c])
+                frame = frame.astype("object").where(frame.notna(), None)
+                recs = frame.to_dict("records")
+                out = [None] * len(dicts)
+                for slot, rec in zip(present_idx, recs):
+                    out[slot] = rec
+                return pd.Series(out, index=col.index, dtype="object")
 
             res = pdf[_HEADER].copy()
             res["before"] = parse(pdf["before_json"])

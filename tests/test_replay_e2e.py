@@ -191,3 +191,26 @@ def test_crash_between_data_and_manifest(spark, small_events, events_pdf, tmp_pa
     replay(small_events.filter(f"seq > {cut}"), table, batch_id="b2")
     expected = oracle.state_checksum(oracle.sequential_apply(events_pdf))
     assert table.state_checksum(spark) == expected
+
+
+def test_replay_with_narrow_before_decode(spark, small_events, events_pdf, tmp_path):
+    """decode_events(before_fields=keys) — the forward-replay fast path —
+    produces the identical final state as the full decode."""
+    from bingo2sql_spark.sources.decode import decode_events
+    from bingo2sql_spark.sources.synth import to_raw
+
+    raw_dir = str(tmp_path / "raw")
+    to_raw(small_events).write.mode("overwrite").parquet(raw_dir)
+    raw = spark.read.parquet(raw_dir)
+    narrow = decode_events(raw, before_fields=["repo", "path"])
+    assert [f.name for f in narrow.schema["before"].dataType.fields] == ["repo", "path"]
+    t1 = IcebergLiteTable(str(tmp_path / "t_narrow"), n_buckets=8)
+    replay(narrow, t1, batch_id="n")
+    t2 = IcebergLiteTable(str(tmp_path / "t_full"), n_buckets=8)
+    replay(decode_events(raw), t2, batch_id="f")
+    assert t1.state_checksum(spark) == t2.state_checksum(spark)
+    assert expected_nonempty(t1, spark)
+
+
+def expected_nonempty(table, spark):
+    return table.read(spark).count() > 0
