@@ -424,11 +424,16 @@ def render_sql_arrow(
     Use this path when per-type codecs need Python (JSON/geometry/
     unsigned fix-ups) or for multi-row VALUES batching."""
     cols = payload_cols or S.payload_columns()
-    flat = events.filter(F.col("op").isin(list(S.DML_OPS))).select(
+    has_ddl = "statement" in events.columns
+    keep = F.col("op").isin(list(S.DML_OPS))
+    if has_ddl:
+        keep = keep | ((F.col("op") == S.OP_DDL) & F.col("statement").isNotNull())
+    flat = events.filter(keep).select(
         "seq",
         "op",
         "db",
         "table",
+        *([F.col("statement")] if has_ddl else []),
         *[F.col(f"before.{c}").alias(f"b_{c}") for c in cols],
         *[F.col(f"after.{c}").alias(f"a_{c}") for c in cols],
     )
@@ -473,6 +478,12 @@ def render_sql_arrow(
             update = "UPDATE " + tbl + " SET " + set_list + " WHERE " + where + ";"
 
             sql = insert.where(pdf["op"] == "insert", update.where(pdf["op"] == "update", delete))
+            if has_ddl:
+                stmt = pdf["statement"].astype("string").str.replace(
+                    r";\s*$", "", regex=True
+                )
+                ddl = "USE `" + pdf["db"] + "`;\n" + stmt + ";"
+                sql = sql.where(pdf["op"] != "ddl", ddl)
             yield pd.DataFrame({"seq": pdf["seq"], "sql": sql})
 
     return flat.mapInPandas(gen, schema="seq long, sql string")

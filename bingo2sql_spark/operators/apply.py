@@ -188,10 +188,11 @@ class IcebergLiteTable:
             "version": 0,
             "buckets": {},
             "committed_batches": [],
+            "batch_watermarks": {},
             "columns": [],
             "lineage": {},
         }
-        if batch_id in m["committed_batches"]:
+        if self._already_committed(m, batch_id):
             return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
 
         payload_cols = [c for c in batch.columns if not c.startswith("_")]
@@ -330,17 +331,61 @@ class IcebergLiteTable:
             "deletes": batch_counts["deletes"],
             "commit_secs": round(time.time() - t0, 3),
         }
+        batches, watermarks = self._record_batch(m, batch_id)
         self._write_manifest(
             {
                 "version": new_version,
                 "buckets": buckets_map,
-                "committed_batches": m["committed_batches"] + [batch_id],
+                "committed_batches": batches,
+                "batch_watermarks": watermarks,
                 "columns": all_cols,
                 "lineage": lineage,
                 "metrics": metrics,
             }
         )
         return metrics
+
+    # -- exactly-once batch-id bookkeeping ------------------------------------
+    #
+    # An unbounded committed-batch list would grow one entry per micro-
+    # batch forever (10^7+ entries at 10^10 events). STREAMING batch ids
+    # (`stream-<epoch>`, emitted by streaming.pipeline.start_ingest) are
+    # monotone per checkpoint lineage: Structured Streaming re-delivers
+    # an epoch only until it commits, and epochs commit in order — so a
+    # per-prefix high WATERMARK is a complete dedup record for them
+    # (Iceberg keeps the same thing in snapshot summary properties).
+    # Ad-hoc batch ids carry NO ordering guarantee (a user may commit
+    # "b3" before "b2") and stay in the explicit list.
+
+    #: prefixes whose numeric suffix is guaranteed monotone-committed
+    WATERMARK_PREFIXES = ("stream-",)
+
+    @classmethod
+    def _split_batch_id(cls, batch_id: str) -> tuple[str, int] | None:
+        for prefix in cls.WATERMARK_PREFIXES:
+            if batch_id.startswith(prefix) and batch_id[len(prefix):].isdigit():
+                return (prefix, int(batch_id[len(prefix):]))
+        return None
+
+    def _already_committed(self, m: dict[str, Any], batch_id: str) -> bool:
+        if batch_id in m.get("committed_batches", []):
+            return True
+        parts = self._split_batch_id(batch_id)
+        if parts is None:
+            return False
+        prefix, n = parts
+        return n <= m.get("batch_watermarks", {}).get(prefix, -1)
+
+    def _record_batch(self, m: dict[str, Any], batch_id: str) -> tuple[list, dict]:
+        batches = list(m.get("committed_batches", []))
+        watermarks = dict(m.get("batch_watermarks", {}))
+        parts = self._split_batch_id(batch_id)
+        if parts is None:
+            batches.append(batch_id)
+        else:
+            prefix, n = parts
+            watermarks[prefix] = max(n, watermarks.get(prefix, -1))
+        return batches, watermarks
 
     def compact(self, spark: SparkSession, drop_tombstones: bool = True) -> dict[str, Any]:
         """Rewrite every bucket into one fresh snapshot: merges the

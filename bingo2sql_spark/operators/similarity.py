@@ -68,6 +68,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     impl: str = "numpy",
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k by integer-scaled dot product.
 
@@ -96,6 +97,16 @@ def brute_force_topk(
             # is half-to-even and would flip exact .5 boundaries)
             return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
 
+        # the query set ships in the task closure: O(Q * dim) ints on the
+        # driver and per executor. Brute force is the SMALL-Q baseline by
+        # design — a larger query set belongs in lsh_topk (bucketed join,
+        # nothing collected); fail loudly instead of OOMing the driver.
+        n_q = queries.count()
+        if n_q > max_driver_queries:
+            raise ValueError(
+                f"brute_force_topk collected {n_q} queries (> {max_driver_queries}); "
+                "use lsh_topk for large query sets or raise max_driver_queries"
+            )
         qrows = queries.select(query_id_col, vec_col).collect()
         qids = np.array([r[query_id_col] for r in qrows], dtype="int64")
         qmat = round_half_away(

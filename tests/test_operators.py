@@ -362,6 +362,11 @@ def test_render_ddl_emission(spark):
     assert out[0]["sql"] == "USE `meta`;\nALTER TABLE `meta`.`audit_log` ADD COLUMN x INT;"
     # without a statement column, ddl rows are filtered (old behavior)
     assert render_sql(base.drop("statement")).count() == 0
+    # Arrow renderer parity
+    from bingo2sql_spark.functions.render import render_sql_arrow
+
+    assert render_sql_arrow(base).collect()[0]["sql"] == out[0]["sql"]
+    assert render_sql_arrow(base.drop("statement")).count() == 0
 
 
 def test_render_no_primary_key(spark, small_events):

@@ -214,3 +214,24 @@ def test_replay_with_narrow_before_decode(spark, small_events, events_pdf, tmp_p
 
 def expected_nonempty(table, spark):
     return table.read(spark).count() > 0
+
+
+def test_batch_watermark_bookkeeping(spark, small_events, tmp_path):
+    """Streaming-style batch ids (`stream-<epoch>`) dedup via a bounded
+    per-prefix watermark (no unbounded committed_batches growth); ad-hoc
+    numbered ids keep exact-set semantics even committed out of order."""
+    t = IcebergLiteTable(str(tmp_path / "wm"), n_buckets=8)
+    half = small_events.filter("seq < 800")
+    assert not replay(half, t, batch_id="stream-0")["skipped"]
+    assert not replay(half, t, batch_id="stream-1")["skipped"]
+    assert replay(half, t, batch_id="stream-0")["skipped"]  # below watermark
+    assert replay(half, t, batch_id="stream-1")["skipped"]
+    m = t.latest_manifest()
+    assert m["batch_watermarks"] == {"stream-": 1}
+    assert m["committed_batches"] == []  # nothing accumulated
+    # ad-hoc ids: out-of-order numbers must NOT be swallowed
+    assert not replay(half, t, batch_id="b3")["skipped"]
+    assert not replay(half, t, batch_id="b2")["skipped"]
+    assert replay(half, t, batch_id="b3")["skipped"]
+    m = t.latest_manifest()
+    assert set(m["committed_batches"]) == {"b3", "b2"}

@@ -62,7 +62,11 @@ def test_stream_ingest_and_checkpoint_resume(spark, small_events, tmp_path):
     assert all("rows_in_batch" in m for m in metrics if not m.get("skipped"))
     man = table.latest_manifest()
     assert man["lineage"] and all("log_pos" in v for v in man["lineage"].values())
-    assert len(man["committed_batches"]) == len([m for m in metrics if not m.get("skipped")])
+    # stream epochs dedup via the bounded per-prefix watermark (not an
+    # unbounded id list): highest committed epoch == #commits - 1
+    n_commits = len([m for m in metrics if not m.get("skipped")])
+    assert man["committed_batches"] == []
+    assert man["batch_watermarks"]["stream-"] == n_commits - 1
 
 
 def test_stream_restart_noop_when_drained(spark, small_events, tmp_path):
