@@ -101,13 +101,13 @@ def brute_force_topk(
         # driver and per executor. Brute force is the SMALL-Q baseline by
         # design — a larger query set belongs in lsh_topk (bucketed join,
         # nothing collected); fail loudly instead of OOMing the driver.
-        n_q = queries.count()
-        if n_q > max_driver_queries:
+        # (limit+1 keeps the guard inside the ONE collect job.)
+        qrows = queries.select(query_id_col, vec_col).limit(max_driver_queries + 1).collect()
+        if len(qrows) > max_driver_queries:
             raise ValueError(
-                f"brute_force_topk collected {n_q} queries (> {max_driver_queries}); "
+                f"brute_force_topk would collect > {max_driver_queries} queries; "
                 "use lsh_topk for large query sets or raise max_driver_queries"
             )
-        qrows = queries.select(query_id_col, vec_col).collect()
         qids = np.array([r[query_id_col] for r in qrows], dtype="int64")
         qmat = round_half_away(
             np.array([r[vec_col] for r in qrows], dtype="float64") * 1000
@@ -157,6 +157,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
     chunk_rows: int = 4096,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share an SRP
     bucket (near-identical vectors almost always do — exact twins
@@ -173,7 +174,16 @@ def cosine_near_dup_pairs(
     outright (boilerplate/zero-ish embeddings that would go quadratic —
     standard near-dup practice; dropped buckets lose their pairs, which
     is the documented trade). chunk_rows bounds the matmul working set
-    to chunk_rows x bucket_size int64s regardless of bucket size."""
+    to chunk_rows x bucket_size int64s regardless of bucket size.
+
+    `probe_bits=1` adds one-bit MULTI-PROBE recall: every vector also
+    visits the n_planes buckets at Hamming distance 1, so near-dup pairs
+    that straddle ONE hyperplane are scored too. Exactly-once emission
+    without any dedup shuffle: a pair is emitted only in the group where
+    its SMALLER-id member sits in its HOME bucket — same-bucket pairs
+    fire once (both home), hamming-1 pairs fire in exactly one of their
+    two home groups, probed-probed co-occurrences never fire. Cost:
+    (n_planes+1)x rows into the groupBy — the standard probe trade."""
     vb = with_srp_bucket_arrow(vectors, vec_col, n_planes, dim).select(
         id_col, vec_col, "_bucket"
     )
@@ -185,6 +195,23 @@ def cosine_near_dup_pairs(
             .select("_bucket")
         )
         vb = vb.join(F.broadcast(ok), "_bucket", "left_semi")
+    if probe_bits:
+        probes = [F.struct(F.col("_bucket").alias("_b"), F.lit(True).alias("_home"))]
+        for j in range(n_planes):
+            flipped = F.when(
+                F.substring("_bucket", j + 1, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            code = F.concat(
+                F.substring("_bucket", 1, j), flipped, F.substring("_bucket", j + 2, n_planes)
+            )
+            probes.append(F.struct(code.alias("_b"), F.lit(False).alias("_home")))
+        vb = vb.select(
+            id_col, vec_col, F.explode(F.array(*probes)).alias("_p")
+        ).select(
+            id_col, vec_col, F.col("_p._b").alias("_bucket"), F.col("_p._home").alias("_home")
+        )
+    else:
+        vb = vb.withColumn("_home", F.lit(True))
 
     thr = int(threshold_scaled)
 
@@ -197,6 +224,7 @@ def cosine_near_dup_pairs(
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
+        home = pdf["_home"].to_numpy()[order]
         iv = _round_half_away(
             np.array(list(pdf[vec_col].iloc[order]), dtype="float64") * 1000
         )
@@ -204,9 +232,10 @@ def cosine_near_dup_pairs(
         for i0 in range(0, n, chunk_rows):
             i1 = min(i0 + chunk_rows, n)
             g = iv[i0:i1] @ iv.T  # (chunk, n) exact int64
-            # upper triangle only: global j > global i  <=>  id_b > id_a
+            # upper triangle (global j > i <=> id_b > id_a) AND the
+            # smaller-id member is in its home bucket (probe dedup rule)
             rows, cols = np.nonzero(g >= thr)
-            keep = cols > (rows + i0)
+            keep = (cols > (rows + i0)) & home[rows + i0]
             out_a.append(ids[rows[keep] + i0])
             out_b.append(ids[cols[keep]])
             out_d.append(g[rows[keep], cols[keep]])

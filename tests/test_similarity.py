@@ -168,3 +168,42 @@ def test_minhash_bucket_cap(spark):
     assert uncapped.filter("id_a < 100").count() == 20 * 19 // 2
     assert capped.filter("id_a < 100").count() == 0  # boilerplate dropped
     assert capped.filter("id_a = 100 and id_b = 101").count() == 1  # small group kept
+
+
+def test_cosine_near_dup_multiprobe(spark, embeddings):
+    """probe_bits=1 scores exactly the pairs whose SRP buckets are
+    within Hamming distance 1 (and dot >= threshold), each emitted
+    exactly once — verified against a local numpy all-pairs oracle."""
+    import numpy as np
+
+    doubled = embeddings.unionByName(
+        embeddings.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    n_planes, thr = 4, 900000
+    got = SIM.cosine_near_dup_pairs(
+        doubled, threshold_scaled=thr, n_planes=n_planes, probe_bits=1
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"], r["dot_scaled"]) for r in got]
+    assert len(pairs) == len(set(pairs)), "duplicate emissions"
+
+    # local oracle: all pairs with dot>=thr and bucket hamming <= 1
+    rows = doubled.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype="float64") * 1000
+    iv = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
+    wt = SIM._srp_weights(n_planes, 64).T
+    codes = (iv @ wt > 0).astype("int8")
+    dots = iv @ iv.T
+    want = set()
+    n = len(ids)
+    for i in range(n):
+        ham = np.abs(codes - codes[i]).sum(axis=1)
+        cand = np.nonzero((ham <= 1) & (dots[i] >= thr) & (ids > ids[i]))[0]
+        for j in cand:
+            want.add((ids[i], ids[j], dots[i, j]))
+    assert set(pairs) == want
+    # strictly more recall than unprobed at the same plane count
+    plain = SIM.cosine_near_dup_pairs(
+        doubled, threshold_scaled=thr, n_planes=n_planes, probe_bits=0
+    ).count()
+    assert len(pairs) >= plain
