@@ -151,12 +151,15 @@ def decorate(
     show_gtid: bool = True,
     show_time: bool = True,
     time_mode: str = "second",
+    show_thread: bool = False,
     block_size: int = 1 << 16,
 ) -> DataFrame:
     """S6 — output decoration (myWrite core/parser.go:674-724): a GTID
     comment line when the GTID changes, `; # <ts>` appended on the first
     row of each second (`time_mode="second"`) or on EVERY row
-    (`time_mode="row"`, the reference's every-row option).
+    (`time_mode="row"`, the reference's every-row option), and an
+    optional ` # thread_id=N` suffix (`show_thread`, the reference's
+    ShowThread flag).
 
     Scale shape: a global `Window.orderBy(seq)` funnels the whole
     dataset into ONE task — a single-task OOM at 100x. Instead the lag
@@ -168,6 +171,11 @@ def decorate(
     metadata-scale) and broadcast back. Identical output to the global
     window, including across block-spanning seq gaps."""
     out = rendered
+    if show_thread:
+        out = out.withColumn(
+            "thread_comment",
+            F.concat(F.lit(" # thread_id="), F.col("thread_id").cast("string")),
+        )
     gtid = F.concat(F.col("gtid_uuid"), F.lit(":"), F.col("gno").cast("string"))
     sec = F.date_trunc("second", F.col("ts"))
     time_fmt = F.concat(F.lit("; # "), F.date_format(sec, "yyyy-MM-dd HH:mm:ss"))
@@ -221,6 +229,7 @@ def write_sql_file(
     show_gtid: bool = True,
     show_time: bool = True,
     time_mode: str = "second",
+    show_thread: bool = False,
     minimal_update: bool = True,
     minimal_insert: bool = False,
     batch_rows: int = 100,
@@ -246,7 +255,7 @@ def write_sql_file(
         # batch on the rollback path (reference likewise only batches
         # forward inserts)
         rendered = render_sql(ev, minimal_update=minimal_update)
-    rendered = decorate(rendered, show_gtid, show_time, time_mode)
+    rendered = decorate(rendered, show_gtid, show_time, time_mode, show_thread)
     line = F.concat_ws(
         "\n",
         *( [F.col("gtid_comment")] if show_gtid else [] ),
@@ -255,6 +264,7 @@ def write_sql_file(
             F.coalesce(F.regexp_replace(F.col("time_comment"), "^; # ", " # "), F.lit(""))
             if show_time
             else F.lit(""),
+            F.coalesce(F.col("thread_comment"), F.lit("")) if show_thread else F.lit(""),
         ),
     )
     out = rendered.select("seq", line.alias("value")).orderBy("seq").select("value")

@@ -46,6 +46,41 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_raw_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S2 variant: raw wire events landed as JSON-lines (the common
+    Kafka-connect / tailer landing format) instead of parquet. The
+    explicit RAW_EVENT schema means NO inference pass over the data
+    (a second full scan at 100 TB) and malformed lines surface as a
+    _corrupt_record column instead of poisoning the decode."""
+    from bingo2sql_spark.schema import RAW_EVENT
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        RAW_EVENT.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def stream_raw_jsonl(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1 variant over a raw JSON-lines landing zone: readStream with
+    the pinned RAW_EVENT schema; compose with sources.decode
+    (decode_events works on streaming DataFrames — pure projections)."""
+    from bingo2sql_spark.schema import RAW_EVENT
+
+    reader = spark.readStream.schema(RAW_EVENT)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
 def head_position(spark: SparkSession, path: str) -> tuple[str, int]:
     """S4 master-status analog: the highest (log_file, log_pos) landed."""
     df = spark.read.parquet(path)

@@ -241,6 +241,16 @@ def test_write_sql_file_ordered_and_decorated(spark, small_events, tmp_path):
     assert any(ln.startswith("# GTID ") for ln in lines)
     assert any(" # 2024-01-01" in ln for ln in lines)
 
+    outthr = str(tmp_path / "sqlout_thr")
+    write_sql_file(sample, outthr, show_gtid=False, show_time=False, show_thread=True)
+    thr_lines = []
+    for p in sorted(glob.glob(outthr + "/part-*")):
+        with open(p) as f:
+            thr_lines += [ln for ln in f.read().splitlines() if ln]
+    # ShowThread parity (core/parser.go:696-720): every statement line
+    # carries a thread_id suffix
+    assert all(" # thread_id=" in ln for ln in thr_lines)
+
     outfb = str(tmp_path / "sqlout_fb")
     write_sql_file(sample, outfb, flashback=True, show_gtid=False, show_time=False)
     fb_lines = []
