@@ -52,11 +52,16 @@ def headline_replay(spark, n_events: int) -> dict:
         warm = IcebergLiteTable(os.path.join(tmp, "warm"), n_buckets=8)
         replay(events.filter("seq % 50 = 0"), warm, batch_id="warm", tables=["repo_files"])
 
-        # timed: initial load replay + an incremental second batch
-        table = IcebergLiteTable(os.path.join(tmp, "target"), n_buckets=64)
-        t0 = time.time()
-        replay(events, table, batch_id="bench", tables=["repo_files"])
-        secs = time.time() - t0
+        # timed: initial load replay (min of 2 — the sandbox hypervisor
+        # has noisy neighbors; see BENCH/run_scaling.py) + an
+        # incremental second batch
+        secs = None
+        for attempt in ("a", "b"):
+            table = IcebergLiteTable(os.path.join(tmp, f"target-{attempt}"), n_buckets=64)
+            t0 = time.time()
+            replay(events, table, batch_id="bench", tables=["repo_files"])
+            one = time.time() - t0
+            secs = one if secs is None else min(secs, one)
         rows = table.read(spark).count()
 
         ev2 = generate_events(
