@@ -366,6 +366,19 @@ def _q_minhash_pairs(spark, sf_dir):
     return DD.minhash_candidate_pairs(doubled, k=4, bands=2)
 
 
+def _q_connected_keepers(spark, sf_dir):
+    """Near-dup pairs -> connected components -> canonical keeper per
+    doc (the actionable dedup assignment; min-label propagation)."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    pairs = DD.minhash_candidate_pairs(doubled, k=4, bands=2)
+    return DD.keeper_assignment(doubled, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     from bingo2sql_spark.operators import dedup as DD
 
@@ -580,6 +593,17 @@ def _q_render_multi_insert(spark, sf_dir):
     return render_multi_row_inserts(_doc_events(spark, sf_dir), batch_rows=100)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic training-mix sampling: per-lang keep fractions via
+    a stable md5 draw — reproducible across engines and partitionings."""
+    from bingo2sql_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, {"en": 1.0, "es": 0.5, "de": 0.25}, strata_col="lang", salt="mix"
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "UTF-8")
@@ -614,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": _q_dedup_fingerprint,
         "dedup_minhash_signature": _q_minhash_signature,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_connected_keepers": _q_connected_keepers,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "text_token_count": _q_text_tokens,
@@ -622,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_embedding_cosine": _q_embedding_near_dup,
+        "sample_stratified": _q_stratified_sample,
         "multimodal_binary_meta": _q_multimodal_meta,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "events_sessionize": _q_sessionize,
@@ -902,6 +928,37 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
 """
+    q["dedup_connected_keepers"] = f"""
+WITH RECURSIVE d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id+1000000, text FROM documents),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(_sh, s -> md5('0:' || s))) AS mh0,
+         list_min(list_transform(_sh, s -> md5('1:' || s))) AS mh1,
+         list_min(list_transform(_sh, s -> md5('2:' || s))) AS mh2,
+         list_min(list_transform(_sh, s -> md5('3:' || s))) AS mh3
+  FROM (SELECT doc_id, {_SHINGLES} AS _sh
+        FROM (SELECT doc_id, {_WORDS} AS _w FROM d))
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS digest FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS digest FROM sig
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT v AS doc_id, min(l) AS keeper_id FROM reach GROUP BY v
+"""
     q["dedup_simhash"] = (
         "SELECT doc_id, "
         + " || ".join(_simhash_bit(j) for j in range(8))
@@ -951,6 +1008,16 @@ WITH t AS (SELECT doc_id, {_WORDS} AS _w FROM documents),
 s AS (SELECT doc_id, {score_exprs} FROM t),
 m AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM s)
 SELECT doc_id, {_LANG_CASE} AS lang_pred FROM m
+"""
+    from bingo2sql_spark.functions.sampling import threshold_hex
+
+    q["sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('mix:' || cast(doc_id AS varchar)), 1, 8) <
+      (CASE lang WHEN 'en' THEN '{threshold_hex(1.0)}'
+                 WHEN 'es' THEN '{threshold_hex(0.5)}'
+                 WHEN 'de' THEN '{threshold_hex(0.25)}'
+                 ELSE '{threshold_hex(0.0)}' END)
 """
     q["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id%50=0),

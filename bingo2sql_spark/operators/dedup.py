@@ -147,6 +147,72 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: every vertex converges to the SMALLEST id in
+    its component (the canonical keeper). This is the step that turns
+    pairwise dedup output into an actionable keep/drop assignment —
+    near-dup relations are not transitive, so pair lists alone
+    over-delete or under-delete.
+
+    Scale shape: each round is one groupBy-min over (edges ⋈ labels) —
+    a hash shuffle on vertex id; rounds needed = graph diameter, and
+    near-dup components are clique-like (diameter 1-2), so 2-3 rounds
+    cover real corpora. Convergence is detected by counting changed
+    labels (an AQE-sized aggregate, not a collect of the labels).
+    localCheckpoint truncates the loop's lineage so plans don't grow
+    exponentially. Returns (id, component) with component = min id.
+    `vertices` adds isolated docs (their own component)."""
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = sym.select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        labels = labels.unionByName(
+            vertices.select(F.col(id_col).alias("id"))
+        ).distinct()
+    labels = labels.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "component")
+            .unionByName(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("component"))
+
+
+def keeper_assignment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, keeper_id) for every doc: the smallest id in the doc's
+    near-dup component (itself when isolated). Drop rows with
+    id != keeper_id to dedup the corpus."""
+    cc = connected_components(pairs, vertices=docs, id_a=id_a, id_b=id_b, id_col=id_col)
+    return cc.select(F.col("id").alias(id_col), F.col("component").alias("keeper_id"))
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
     """SimHash per doc, computed as n_bits conditional sums in one
     codegen groupBy over exploded tokens (same values as

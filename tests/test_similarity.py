@@ -207,3 +207,18 @@ def test_cosine_near_dup_multiprobe(spark, embeddings):
         doubled, threshold_scaled=thr, n_planes=n_planes, probe_bits=0
     ).count()
     assert len(pairs) >= plain
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Min-label propagation crosses multi-hop chains (near-dup is not
+    transitive pairwise — the component is the dedup unit) and keeps
+    isolated docs as their own keeper."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], ["doc_id"])
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in DD.keeper_assignment(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}

@@ -70,3 +70,43 @@ def test_stream_raw_jsonl_decode_in_stream(spark, small_events, tmp_path):
     ref = IcebergLiteTable(str(tmp_path / "t_ref"), n_buckets=8)
     replay(small_events, ref, batch_id="ref")
     assert table.state_checksum(spark) == ref.state_checksum(spark)
+
+
+def test_deterministic_sampling_properties(spark):
+    """Sampling decisions depend only on (salt, key): stable under
+    repartitioning, append-stable, and fraction-accurate."""
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark.functions.sampling import (
+        deterministic_sample,
+        stratified_sample,
+        threshold_hex,
+    )
+
+    assert threshold_hex(0.0) == "00000000"
+    assert threshold_hex(1.0) == "g"  # sorts above every hex draw
+    # fraction 1.0 keeps EVERYTHING (the 9-char hex cutoff would not)
+    all_df = spark.range(100).withColumnRenamed("id", "doc_id")
+    assert deterministic_sample(all_df, 1.0).count() == 100
+    assert deterministic_sample(all_df, 0.0).count() == 0
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    kept = set(r["doc_id"] for r in deterministic_sample(df, 0.3).collect())
+    # partitioning-independent: same rows survive any layout
+    kept2 = set(
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(64), 0.3).collect()
+    )
+    assert kept == kept2
+    # append-stable: sampling a prefix agrees with sampling the whole
+    prefix = set(
+        r["doc_id"]
+        for r in deterministic_sample(df.filter("doc_id < 10000"), 0.3).collect()
+    )
+    assert prefix == {k for k in kept if k < 10000}
+    # fraction-accurate within a few percent at n=20000
+    assert abs(len(kept) / 20000 - 0.3) < 0.02
+    # stratified: per-stratum rates honored; unknown strata dropped
+    sdf = df.withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("zz"))
+    out = stratified_sample(sdf, {"en": 0.5}, strata_col="lang").collect()
+    assert all(r["lang"] == "en" for r in out)
+    assert abs(len(out) / 10000 - 0.5) < 0.03
