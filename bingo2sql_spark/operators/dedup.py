@@ -173,6 +173,9 @@ def connected_components(
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # materialize the edge list ONCE: every round joins it, and the
+    # upstream pair pipeline (minhash/LSH) must not re-run per round
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         labels = labels.unionByName(
