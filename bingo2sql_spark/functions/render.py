@@ -232,6 +232,7 @@ def write_sql_file(
     show_thread: bool = False,
     minimal_update: bool = True,
     minimal_insert: bool = False,
+    no_primary_key: bool = False,
     batch_rows: int = 100,
     compression: str | None = None,
 ) -> None:
@@ -249,12 +250,19 @@ def write_sql_file(
 
     ev = FB.invert(events) if flashback else events
     if minimal_insert and not flashback:
-        rendered = render_sql_inline(ev, minimal_update=minimal_update, batch_rows=batch_rows)
+        rendered = render_sql_inline(
+            ev,
+            minimal_update=minimal_update,
+            no_primary_key=no_primary_key,
+            batch_rows=batch_rows,
+        )
     else:
         # flashback inverts inserts into deletes, so there is nothing to
         # batch on the rollback path (reference likewise only batches
         # forward inserts)
-        rendered = render_sql(ev, minimal_update=minimal_update)
+        rendered = render_sql(
+            ev, minimal_update=minimal_update, no_primary_key=no_primary_key
+        )
     rendered = decorate(rendered, show_gtid, show_time, time_mode, show_thread)
     line = F.concat_ws(
         "\n",

@@ -480,3 +480,37 @@ def test_expire_snapshots(spark, small_events, tmp_path):
     assert t.state_checksum(spark) == before
     snaps = os.listdir(os.path.join(t.path, "data"))
     assert len(snaps) <= 3
+
+
+def test_generate_sql_facade(spark, small_events, tmp_path):
+    """The reference-flag facade: one call composes filters + rendering
+    + decoration + ordered sink."""
+    import glob
+
+    from bingo2sql_spark.api import generate_sql
+
+    out = str(tmp_path / "facade")
+    generate_sql(
+        small_events,
+        out,
+        tables=["repo_files"],
+        sql_type=["insert"],
+        max_rows=50,
+        minimal_insert=True,
+        show_all_time=True,
+        show_thread=True,
+        show_gtid=False,
+    )
+    lines = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        with open(p) as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    assert lines and all(ln.startswith("INSERT INTO `test`.`repo_files`") for ln in lines)
+    assert all(" # 2024" in ln and " # thread_id=" in ln for ln in lines)  # every-row time
+    assert sum(ln.count("),(") + 1 for ln in lines) == 50  # max_rows honored
+    assert any("),(" in ln for ln in lines)  # minimal_insert batched
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        generate_sql(small_events, out, flashback=True, no_primary_key=True)
