@@ -77,6 +77,61 @@ def decode_audio(payload: bytes, mime: str) -> object:
     )
 
 
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize plumbing: mapInPandas batch in, (media_id, payload,
+    meta-with-new-dims) out. The pixel work is STUBBED (no PIL/cv2 in
+    this container — plug `decode_image` + `Image.resize` + re-encode at
+    the marked line); everything Spark-side is the production shape:
+    media bytes never leave the executor, meta is rewritten typed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            # REAL integration point: decode_image(payload, mime) ->
+            # img.resize((width, height)) -> re-encode bytes. Stub keeps
+            # the payload and rewrites the declared dimensions.
+            out["meta"] = [
+                None if m is None else {**m, "width": width, "height": height}
+                for m in out["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(gen, schema=media.schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling plumbing: one media row fans out to
+    (media_id, frame_idx, ts_ms, frame_payload) rows — the 1:N batch
+    shape a real decoder produces. Frame DECODE is stubbed (deterministic
+    byte slices stand in for decoded frames); the fan-out cardinality
+    comes from the real metadata (duration_ms / every_ms, capped)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_payload": []}
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                dur = (meta or {}).get("duration_ms") or 0
+                n = min(max_frames, max(1, int(dur // every_ms)))
+                b = bytes(payload) if payload is not None else b""
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    # REAL integration point: av/ffmpeg seek+decode at
+                    # ts_ms. Stub: a deterministic slice of the payload.
+                    rows["frame_payload"].append(b[i : i + 16] if b else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        gen,
+        schema="media_id long, frame_idx int, ts_ms long, frame_payload binary",
+    )
+
+
 def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
     """mapInPandas feature extraction: the production shape (Arrow
     batches in, fixed-dim float vectors out, media never leaves the

@@ -59,12 +59,26 @@ def start_ingest(
     available_now: bool = True,
     schema_ver: int = S.LATEST_SCHEMA_VER,
     row_image: str = "FULL",
+    source_format: str = "envelope_parquet",
     **filter_kwargs: Any,
 ) -> StreamingQuery:
     """Launch the ingest query. availableNow=True drains the current
     backlog then stops (the reference's stop-at-master-status,
-    core/parser.go:552-563); False tails continuously (--stop-never)."""
-    stream = stream_events(spark, events_dir, max_files_per_trigger)
+    core/parser.go:552-563); False tails continuously (--stop-never).
+
+    source_format="raw_jsonl" tails a raw-wire JSON-lines landing zone
+    instead (Kafka-connect style) and decodes IN the stream — decode is
+    a pure projection, so filters still push below it."""
+    if source_format == "raw_jsonl":
+        from bingo2sql_spark.sources.decode import decode_events
+        from bingo2sql_spark.sources.layout import stream_raw_jsonl
+
+        stream = decode_events(
+            stream_raw_jsonl(spark, events_dir, max_files_per_trigger),
+            schema_ver=schema_ver,
+        )
+    else:
+        stream = stream_events(spark, events_dir, max_files_per_trigger)
     stream = FL.apply_filters(stream, **filter_kwargs)
     stream = stream.filter(F.col("op") != S.OP_DDL)
     metrics_path = os.path.join(table.path, "_metrics.jsonl")

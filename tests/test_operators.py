@@ -514,3 +514,53 @@ def test_generate_sql_facade(spark, small_events, tmp_path):
 
     with _pytest.raises(ValueError):
         generate_sql(small_events, out, flashback=True, no_primary_key=True)
+
+
+def test_multimodal_resize_and_frame_sampling(spark):
+    """Resize rewrites typed meta in place; frame sampling fans one
+    media row out to duration-derived (media_id, frame_idx) rows — the
+    1:N batch shapes a real codec integration will inherit."""
+    from bingo2sql_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+    from bingo2sql_spark.sources.synth import generate_events  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i), 10 + i) for i in range(20)], ["doc_id", "text", "n_chars"]
+    )
+    media = synth_media(docs)
+    resized = resize_images(media, width=64, height=48)
+    assert resized.schema == media.schema
+    rows = resized.collect()
+    assert all(r["meta"]["width"] == 64 and r["meta"]["height"] == 48 for r in rows)
+    assert {r["media_id"] for r in rows} == set(range(20))
+
+    frames = sample_frames(media, every_ms=50, max_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(range(20))
+    for mid, fr in by_media.items():
+        dur = (10 + mid) * 10
+        assert len(fr) == min(4, max(1, dur // 50))
+        assert sorted(f["frame_idx"] for f in fr) == list(range(len(fr)))
+        assert all(f["ts_ms"] == f["frame_idx"] * 50 for f in fr)
+
+
+def test_render_inline_no_global_window(spark, small_events):
+    """render_sql_inline's run-id machinery must keep the data path
+    hash-partitioned; single-partition exchanges may only sit above the
+    metadata-scale per-block aggregates."""
+    from bingo2sql_spark.functions.render import render_sql_inline
+
+    plan = (
+        render_sql_inline(small_events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(_blk" in plan or "hashpartitioning(_run" in plan
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        assert "max_by" in frag or "HashAggregate" in frag or "SortAggregate" in frag

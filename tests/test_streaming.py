@@ -123,3 +123,27 @@ def test_stream_continuous_trigger(spark, small_events, tmp_path):
         assert table.state_checksum(spark) == expected
     finally:
         q.stop()
+
+
+def test_stream_ingest_raw_jsonl_source(spark, small_events, tmp_path):
+    """source_format='raw_jsonl': tail a raw-wire JSON-lines landing
+    zone, decode in-stream, converge to the batch-replay state."""
+    from bingo2sql_spark.sources.synth import to_raw
+
+    land = str(tmp_path / "landing_jsonl")
+    to_raw(small_events).write.mode("overwrite").json(land)
+    table = IcebergLiteTable(str(tmp_path / "t_rawjl"), n_buckets=8)
+    q = start_ingest(
+        spark,
+        land,
+        table,
+        str(tmp_path / "ckpt_rawjl"),
+        source_format="raw_jsonl",
+        tables=["repo_files"],
+    )
+    q.awaitTermination(120)
+    ref = IcebergLiteTable(str(tmp_path / "t_rawjl_ref"), n_buckets=8)
+    from bingo2sql_spark.pipeline import replay
+
+    replay(small_events, ref, batch_id="ref", tables=["repo_files"])
+    assert table.state_checksum(spark) == ref.state_checksum(spark)
