@@ -604,6 +604,21 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (greedy FFD within hash groups).
+    No SQL oracle — greedy bin packing is not SQL-expressible; the
+    driver's rows-only check still pins cardinality (= one row per doc),
+    and tests/test_sources.py proves the invariants (budget respected,
+    exactly-one-bin, determinism, near-optimal bin count)."""
+    from bingo2sql_spark.functions.packing import pack_sequences
+    from bingo2sql_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512, group_docs=1000)
+
+
 def _q_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     blob = F.encode(F.col("text"), "UTF-8")
@@ -648,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "sample_stratified": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         "multimodal_binary_meta": _q_multimodal_meta,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "events_sessionize": _q_sessionize,

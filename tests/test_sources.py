@@ -110,3 +110,45 @@ def test_deterministic_sampling_properties(spark):
     out = stratified_sample(sdf, {"en": 0.5}, strata_col="lang").collect()
     assert all(r["lang"] == "en" for r in out)
     assert abs(len(out) / 10000 - 0.5) < 0.03
+
+
+def test_pack_sequences_properties(spark):
+    """Every doc lands in exactly one bin; bins respect the budget
+    (except oversized singletons); deterministic under repartitioning;
+    packing efficiency is near the lower bound."""
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark.functions.packing import pack_sequences
+
+    docs = (
+        spark.range(5000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", F.pmod(F.xxhash64("doc_id"), F.lit(900)) + 1)
+    )
+    out = pack_sequences(docs, budget=2048, group_docs=1000)
+    rows = out.collect()
+    assert len(rows) == 5000  # one row per doc
+    assert len({r["doc_id"] for r in rows}) == 5000
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for b, rs in by_bin.items():
+        tot = sum(r["n_tokens"] for r in rs)
+        assert all(r["bin_tokens"] == tot for r in rs)
+        assert tot <= 2048 or len(rs) == 1  # oversized -> singleton
+    # near-optimal: used bins within 15% of ceil(total/budget) despite
+    # group-boundary loss
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    lower = -(-total_tokens // 2048)
+    assert len(by_bin) <= lower * 1.15
+    # deterministic under different layouts
+    again = {
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(docs.repartition(17), budget=2048, group_docs=1000).collect()
+    }
+    assert again == {(r["doc_id"], r["bin_id"]) for r in rows}
+    # oversized doc -> singleton bin
+    big = spark.createDataFrame([(1, 5000), (2, 10)], ["doc_id", "n_tokens"])
+    brows = pack_sequences(big, budget=2048).collect()
+    bb = {r["doc_id"]: r for r in brows}
+    assert bb[1]["bin_id"] != bb[2]["bin_id"]
