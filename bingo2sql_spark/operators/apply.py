@@ -92,6 +92,23 @@ class IcebergLiteTable:
         with open(os.path.join(d, names[-1])) as f:
             return json.load(f)
 
+    def manifest_at(self, version: int) -> dict[str, Any] | None:
+        """Time-travel: the manifest of snapshot `version` (None if it
+        was never committed or has been expired)."""
+        p = self._manifest_path(version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def versions(self) -> list[int]:
+        d = os.path.join(self.path, MANIFEST_DIR)
+        return sorted(
+            int(n[len("manifest-"):-len(".json")])
+            for n in os.listdir(d)
+            if n.startswith("manifest-") and n.endswith(".json")
+        )
+
     def _write_manifest(self, m: dict[str, Any]) -> None:
         """Commit point: temp-file + atomic rename (same filesystem)."""
         final = self._manifest_path(m["version"])
@@ -113,10 +130,19 @@ class IcebergLiteTable:
         ]
         return spark.createDataFrame([], T.StructType(fields))
 
-    def _read_raw(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def _read_raw(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
         """Stored rows incl. internal cols; `buckets` prunes the scan at
-        the manifest level."""
-        m = self.latest_manifest()
+        the manifest level; `version` time-travels to that snapshot's
+        manifest (data files are immutable, so any retained manifest is
+        readable — the Iceberg snapshot-isolation property)."""
+        m = self.manifest_at(version) if version is not None else self.latest_manifest()
+        if version is not None and m is None:
+            raise ValueError(f"snapshot {version} does not exist (see versions())")
         cols = (m or {}).get("columns", S.payload_columns())
         if not m or not m.get("buckets"):
             return self._empty_state(spark, cols)
@@ -128,6 +154,13 @@ class IcebergLiteTable:
             os.path.join(self.path, DATA_DIR, f"snap-{v:012d}", f"pbucket={b}")
             for b, v in items
         ]
+        if version is not None:
+            missing = [p for p in paths if not os.path.isdir(p)]
+            if missing:
+                raise ValueError(
+                    f"snapshot {version} data expired (expire_snapshots removed "
+                    f"{len(missing)} bucket dirs) — time-travel unavailable"
+                )
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return self._empty_state(spark, cols)
@@ -138,13 +171,54 @@ class IcebergLiteTable:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df.select(*cols, *INTERNAL_COLS)
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
-        """Current live table state (tombstones filtered, internal
-        columns hidden except bucket)."""
-        df = self._read_raw(spark, buckets)
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Live table state (tombstones filtered, internal columns
+        hidden except bucket); `version` time-travels to a snapshot."""
+        df = self._read_raw(spark, buckets, version=version)
         hidden = {"_ingest_seq", "_deleted", "_log_file", "_log_pos"}
         return df.filter(~F.col("_deleted")).select(
             *[c for c in df.columns if c not in hidden]
+        )
+
+    def changes_between(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame:
+        """Changelog feed between two snapshots (Iceberg
+        `create_changelog_view` analog): one row per key whose LIVE
+        state differs, with op in {insert, update, delete} and both
+        images. Implemented as a full-outer key join of the two
+        time-travel reads — correct for any version gap because the
+        table is an LWW register per key (intermediate churn inside the
+        gap is intentionally collapsed, exactly like Iceberg's net
+        changes mode). Scale: both sides share the (repo,path) bucket
+        layout, so the join shuffles once each side and AQE coalesces."""
+        old = self._read_raw(spark, version=from_version).filter(~F.col("_deleted"))
+        new = self._read_raw(spark, version=to_version).filter(~F.col("_deleted"))
+        payload = [c for c in new.columns if not c.startswith("_") and c != "bucket"]
+        keys = list(S.MERGE_KEYS)
+        data = [c for c in payload if c not in keys]
+        o = old.select(*keys, F.struct(*data, "_ingest_seq").alias("_old"))
+        n = new.select(*keys, F.struct(*data, "_ingest_seq").alias("_new"))
+        j = o.join(n, keys, "full_outer")
+        op = (
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        return (
+            j.select(*keys, op.alias("op"), "_old", "_new")
+            .filter(
+                F.col("_old").isNull()
+                | F.col("_new").isNull()
+                | (F.col("_old") != F.col("_new"))
+            )
+            .withColumnRenamed("_old", "before")
+            .withColumnRenamed("_new", "after")
         )
 
     def head_seq(self) -> int:

@@ -235,3 +235,51 @@ def test_batch_watermark_bookkeeping(spark, small_events, tmp_path):
     assert replay(half, t, batch_id="b3")["skipped"]
     m = t.latest_manifest()
     assert set(m["committed_batches"]) == {"b3", "b2"}
+
+
+def test_time_travel_and_changelog(spark, small_events, tmp_path):
+    """Snapshot isolation: read(version=v) reproduces the state as of
+    commit v; changes_between(v1, v2) yields the net per-key changelog
+    with correct ops and images."""
+    from pyspark.sql import functions as F
+
+    t = IcebergLiteTable(str(tmp_path / "tt"), n_buckets=8)
+    first = small_events.filter("seq < 800")
+    second = small_events.filter("seq >= 800")
+    m1 = replay(first, t, batch_id="p1")
+    v1 = m1["snapshot"]
+    state_v1 = t.state_checksum(spark)
+    m2 = replay(second, t, batch_id="p2")
+    v2 = m2["snapshot"]
+    assert t.versions() == [v1, v2]
+
+    # time-travel read equals the live read taken at v1
+    rows_v1 = sorted(
+        (r["repo"], r["path"]) for r in t.read(spark, version=v1).collect()
+    )
+    assert rows_v1 == sorted((a, b) for a, b, _ in state_v1)
+    assert t.read(spark, version=v2).count() == t.read(spark).count()
+
+    # changelog: apply it to the v1 state -> v2 state
+    ch = t.changes_between(spark, v1, v2).collect()
+    assert ch, "second half must change keys"
+    v1_keys = {(r[0], r[1]) for r in state_v1}
+    for r in ch:
+        if r["op"] == "insert":
+            assert (r["repo"], r["path"]) not in v1_keys and r["before"] is None
+        elif r["op"] == "delete":
+            assert (r["repo"], r["path"]) in v1_keys and r["after"] is None
+        else:
+            assert r["before"] is not None and r["after"] is not None
+            assert r["before"] != r["after"]
+    # net effect: v1 keys + inserts - deletes == v2 keys
+    v2_keys = {(r["repo"], r["path"]) for r in t.read(spark, version=v2).collect()}
+    ins = {(r["repo"], r["path"]) for r in ch if r["op"] == "insert"}
+    dels = {(r["repo"], r["path"]) for r in ch if r["op"] == "delete"}
+    assert (v1_keys | ins) - dels == v2_keys
+
+    # unknown snapshot -> clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read(spark, version=99)
