@@ -553,7 +553,9 @@ def _q_embedding_near_dup(spark, sf_dir):
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    return SIM.cosine_near_dup_pairs(doubled, threshold_scaled=900000, n_planes=8, dim=64)
+    return SIM.cosine_near_dup_pairs(
+        doubled, threshold_scaled=900000, n_planes=8, dim=64, probe_bits=1
+    )
 
 
 def _q_render_ddl(spark, sf_dir):
@@ -1046,15 +1048,29 @@ SELECT query_id, neighbor_id, dot_scaled, rank FROM (
 ) WHERE rank <= 5
 """
     q["ann_lsh_topk"] = _lsh_oracle()
+    # one-bit multi-probe: candidate pairs are those whose buckets are
+    # within Hamming distance 1; the probe side mirrors similarity.py's
+    # smaller-id-member-is-home emission (home a joins b's home+probes,
+    # so each qualifying pair matches exactly once)
+    ecd_probes = ["SELECT vec_id, embedding, bkt AS pbkt FROM v"]
+    for j in range(8):
+        flip = (
+            f"substr(bkt,1,{j}) || "
+            f"(CASE WHEN substr(bkt,{j + 1},1)='1' THEN '0' ELSE '1' END) || "
+            f"substr(bkt,{j + 2})"
+        )
+        ecd_probes.append(f"SELECT vec_id, embedding, {flip} AS pbkt FROM v")
+    ecd_union = "\n  UNION ALL ".join(ecd_probes)
     q["dedup_embedding_cosine"] = f"""
 WITH d AS (SELECT vec_id, embedding FROM embeddings
            UNION ALL SELECT vec_id+100000, embedding FROM embeddings),
-v AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding', 8)} AS bkt FROM d)
+v AS (SELECT vec_id, embedding, {_bucket_expr_sql('embedding', 8)} AS bkt FROM d),
+p AS ({ecd_union})
 SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(list_dot_product(list_transform(a.embedding, x->round(cast(x AS double)*1000)),
                                list_transform(b.embedding, x->round(cast(x AS double)*1000))) AS BIGINT) AS dot_scaled
-  FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+  FROM v a JOIN p b ON a.bkt = b.pbkt AND a.vec_id < b.vec_id
 ) WHERE dot_scaled >= 900000
 """
     q["join_revenue_by_nation"] = """
