@@ -606,6 +606,29 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """The composed curation pipeline a training-data run actually
+    executes: quality gate AND language allow-list AND exact-dedup
+    keeper-only AND deterministic mix sampling — one declarative plan
+    (gates push into the scan; the dedup groupBy is the only shuffle)."""
+    from bingo2sql_spark.functions import text as TX
+    from bingo2sql_spark.functions.sampling import deterministic_sample
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    keepers = DD.exact_dedup_groups(docs).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .filter(TX.quality_score("text") >= 0.5)
+        .filter(F.col("lang").isin("en", "es", "de"))
+    )
+    return deterministic_sample(kept, 0.8, salt="curate").select(
+        "doc_id", "lang", TX.quality_score("text").alias("quality")
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (greedy FFD within hash groups).
     No SQL oracle — greedy bin packing is not SQL-expressible; the
@@ -665,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "sample_stratified": _q_stratified_sample,
+        "curate_corpus": _q_curate_corpus,
         "pack_sequences": _q_pack_sequences,
         "multimodal_binary_meta": _q_multimodal_meta,
         "agg_pricing_summary": _q_agg_pricing_summary,
@@ -1029,6 +1053,23 @@ SELECT doc_id, {_LANG_CASE} AS lang_pred FROM m
 """
     from bingo2sql_spark.functions.sampling import threshold_hex
 
+    q["curate_corpus"] = f"""
+WITH t AS (SELECT doc_id, lang, text, {_WORDS} AS _w FROM documents),
+m AS (SELECT doc_id, lang, text, len(_w) AS n,
+             round(cast(len(list_filter(_w, x -> lower(x) IN ('{sw}'))) AS double)/len(_w), 4) AS swr,
+             round(cast(list_sum(list_transform(_w, x -> length(x))) AS double)/len(_w), 4) AS atl
+      FROM t),
+qscore AS (SELECT doc_id, lang, text,
+       round((CASE WHEN n>=20 THEN 1.0 ELSE cast(n AS double)/20.0 END)
+             * (CASE WHEN swr BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality
+FROM m),
+k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT q.doc_id, q.lang, q.quality
+FROM qscore q JOIN k ON q.doc_id = k.doc_id
+WHERE q.quality >= 0.5 AND q.lang IN ('en','es','de')
+  AND substr(md5('curate:' || cast(q.doc_id AS varchar)), 1, 8) < '{threshold_hex(0.8)}'
+"""
     q["sample_stratified"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE substr(md5('mix:' || cast(doc_id AS varchar)), 1, 8) <

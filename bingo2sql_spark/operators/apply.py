@@ -461,6 +461,29 @@ class IcebergLiteTable:
             watermarks[prefix] = max(n, watermarks.get(prefix, -1))
         return batches, watermarks
 
+    def rollback_to(self, version: int) -> dict[str, Any]:
+        """Iceberg `rollback_to_snapshot` analog: a NEW manifest whose
+        bucket map is snapshot `version`'s — O(metadata), no data moves,
+        and the rolled-back-over snapshots stay readable (time-travel
+        forward again by rolling back to a newer version). Batch
+        bookkeeping is also restored so replaying the undone batches is
+        possible; the flashback operator remains the row-level
+        alternative when no snapshot boundary matches."""
+        target = self.manifest_at(version)
+        if target is None:
+            raise ValueError(f"snapshot {version} does not exist (see versions())")
+        cur = self.latest_manifest()
+        new_version = cur["version"] + 1
+        self._write_manifest(
+            {
+                **target,
+                "version": new_version,
+                "rolled_back_from": cur["version"],
+                "rolled_back_to": version,
+            }
+        )
+        return {"snapshot": new_version, "restored": version}
+
     def compact(self, spark: SparkSession, drop_tombstones: bool = True) -> dict[str, Any]:
         """Rewrite every bucket into one fresh snapshot: merges the
         per-bucket file sets accumulated by incremental commits and

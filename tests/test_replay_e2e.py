@@ -283,3 +283,29 @@ def test_time_travel_and_changelog(spark, small_events, tmp_path):
 
     with _pytest.raises(ValueError):
         t.read(spark, version=99)
+
+
+def test_rollback_to_snapshot(spark, small_events, tmp_path):
+    """Metadata-only rollback: restores an older snapshot's state AND
+    its batch bookkeeping (the undone batch can re-commit), while the
+    rolled-over snapshot stays time-travel-readable."""
+    t = IcebergLiteTable(str(tmp_path / "rb"), n_buckets=8)
+    v1 = replay(small_events.filter("seq < 800"), t, batch_id="p1")["snapshot"]
+    state_v1 = t.state_checksum(spark)
+    v2 = replay(small_events.filter("seq >= 800"), t, batch_id="p2")["snapshot"]
+    state_v2 = t.state_checksum(spark)
+
+    m = t.rollback_to(v1)
+    assert t.state_checksum(spark) == state_v1
+    assert t.latest_manifest()["rolled_back_to"] == v1
+    # v2 still readable via time travel
+    assert t.read(spark, version=v2).count() == len(state_v2)
+    # the undone batch id is no longer "committed" -> replays cleanly
+    r = replay(small_events.filter("seq >= 800"), t, batch_id="p2")
+    assert not r["skipped"]
+    assert t.state_checksum(spark) == state_v2
+    # unknown target -> clear error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.rollback_to(999)
