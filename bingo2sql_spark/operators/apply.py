@@ -60,6 +60,11 @@ from bingo2sql_spark import schema as S
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot version first
+    (optimistic concurrency — caller re-reads and retries)."""
 #: per-row provenance is stored in the table: the writer's log seq and
 #: source binlog position (per-partition lineage falls out of parquet
 #: column stats over these — no extra pass).
@@ -110,12 +115,24 @@ class IcebergLiteTable:
         )
 
     def _write_manifest(self, m: dict[str, Any]) -> None:
-        """Commit point: temp-file + atomic rename (same filesystem)."""
+        """Commit point: temp file + atomic LINK to the versioned name.
+        os.link fails with EEXIST when another writer already claimed
+        this version — the optimistic-concurrency CAS real Iceberg gets
+        from its catalog swap. A plain rename would silently OVERWRITE
+        the concurrent winner's manifest, losing its commit."""
         final = self._manifest_path(m["version"])
         tmp = final + f".tmp-{_uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(m, f)
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"snapshot {m['version']} was committed by another writer; "
+                "re-read the table and retry the merge"
+            ) from e
+        finally:
+            os.unlink(tmp)
 
     # -- read path -------------------------------------------------------------
 

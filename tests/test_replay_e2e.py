@@ -309,3 +309,24 @@ def test_rollback_to_snapshot(spark, small_events, tmp_path):
 
     with _pytest.raises(ValueError):
         t.rollback_to(999)
+
+
+def test_concurrent_commit_detected(spark, small_events, tmp_path):
+    """Two writers racing to the same snapshot version: the loser gets
+    ConcurrentCommitError instead of silently overwriting the winner's
+    manifest (optimistic concurrency, Iceberg catalog-swap analog)."""
+    import pytest as _pytest
+
+    from bingo2sql_spark.operators.apply import ConcurrentCommitError
+
+    t = IcebergLiteTable(str(tmp_path / "cc"), n_buckets=8)
+    replay(small_events.filter("seq < 400"), t, batch_id="a")
+    # simulate a concurrent winner claiming the next version
+    winner = dict(t.latest_manifest())
+    winner["version"] += 1
+    t._write_manifest(winner)
+    # a second writer computed against the stale manifest -> same target
+    with _pytest.raises(ConcurrentCommitError):
+        t._write_manifest(dict(winner))
+    # table remains readable and consistent
+    assert t.read(spark).count() > 0
