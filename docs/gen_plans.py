@@ -1,0 +1,72 @@
+import sys, io, re
+sys.path.insert(0, "/root/repo")
+from bingo2sql_spark.session import get_spark
+from pyspark.sql import functions as F
+
+spark = get_spark("plans")
+sf = "/root/testdata/sf0.01"
+import __spark_entry__ as E
+
+sections = []
+
+def add(title, df, note):
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # keep the operator tree + a trimmed details section
+    head, _, details = plan.partition("\n\n")
+    keep = []
+    for para in details.split("\n\n"):
+        if re.search(r"PushedFilters|PartitionFilters|ReadSchema|Arguments: \[?hashpartitioning|Functions \[partial_", para):
+            keep.append(para)
+    sections.append((title, head, "\n\n".join(keep[:6]), note))
+
+# 1. the merge batch projection (replay's shuffle input)
+import tempfile
+from bingo2sql_spark.sources.synth import generate_events, to_raw
+from bingo2sql_spark.sources.decode import decode_events
+from bingo2sql_spark.operators import resolve as R
+d = tempfile.mkdtemp(dir="/dev/shm")
+to_raw(generate_events(spark, n_keys=2000, versions_per_key=4)).write.mode("overwrite").parquet(d + "/raw")
+raw = spark.read.parquet(d + "/raw")
+batch = R.to_upsert_rows(R.with_key(decode_events(raw.filter("op <> 'ddl'"), before_fields=["repo", "path"])))
+merged = batch.groupBy("repo", "path").agg(F.max_by(F.struct("content", "_seq"), F.col("_seq")).alias("w"))
+add("CDC replay: decode -> upsert projection -> LWW merge aggregate", merged,
+    "The before image parses ONLY the merge keys (narrow from_json). The merge "
+    "groupBy carries partial_max_by (map-side combine): shuffle bytes scale with "
+    "distinct keys per partition, not events. One wide exchange total.")
+
+qs = E.queries()
+add("dedup_embedding_cosine (SRP buckets + probes -> per-bucket matmul)", qs["dedup_embedding_cosine"](spark, sf),
+    "The ONLY exchange is hashpartitioning on the bucket code; pair scoring is one "
+    "chunked numpy matmul per bucket inside FlatMapGroupsInPandas — no per-pair "
+    "expression ever runs.")
+add("dedup_minhash_lsh_pairs (banded LSH)", qs["dedup_minhash_lsh_pairs"](spark, sf),
+    "Signatures come from k min() aggregates in ONE codegen groupBy over exploded "
+    "shingles; the band-digest equi-join is the only pair-producing shuffle (AQE "
+    "skew-join handles hot bands; max_bucket_size can drop degenerate ones).")
+add("cdc_output_decoration (blocked lag, no global window)", qs["cdc_output_decoration"](spark, sf),
+    "The data-path window is hashpartitioning(_blk); the single-partition window "
+    "only runs on the per-block carry aggregate (N/65536 rows).")
+add("join_revenue_by_nation (fact join + broadcast dims)", qs["join_revenue_by_nation"](spark, sf),
+    "nation/region resolve as BroadcastHashJoin; only the fact-fact join shuffles.")
+add("curate_corpus (composed curation)", qs["curate_corpus"](spark, sf),
+    "Quality/lang/sample gates are pure predicates above the scan; the dedup-keeper "
+    "semi-join is the single shuffle.")
+
+out = io.StringIO()
+out.write("""# PLANS — physical-plan audit of the hot paths
+
+Generated from live `explain(formatted)` at sf0.01 (regenerate:
+`python docs/gen_plans.py`). For each plan: the operator tree, the
+load-bearing scan/exchange details, and why this is the plan we want
+at 100 TB. Plan-shape INVARIANTS are enforced by
+tests/test_plan_quality.py — this file is the human-readable audit.
+
+""")
+for title, head, details, note in sections:
+    out.write(f"## {title}\n\n{note}\n\n```\n{head.strip()}\n```\n\n")
+    if details.strip():
+        out.write(f"Key scan/exchange details:\n\n```\n{details.strip()[:2500]}\n```\n\n")
+open("/root/repo/docs/PLANS.md", "w").write(out.getvalue())
+print("WROTE", len(out.getvalue()))
