@@ -292,12 +292,16 @@ def with_insert_runs(events: DataFrame, block_size: int = 1 << 16) -> DataFrame:
     statement it originally preceded.
 
     Scalable prefix computation (no global window): the break flag
-    needs the PREVIOUS event and the run id is a running sum of breaks —
-    both are computed per seq-block with a hash-partitioned window, and
-    block boundaries are patched from two metadata-scale per-block
-    aggregates (last row per block; cumulative break totals) broadcast
-    back. Non-insert rows get singleton run ids and are simply never
-    batched."""
+    needs the PREVIOUS event, computed per seq-block with a
+    hash-partitioned window, and block boundaries are patched from
+    metadata-scale per-block aggregates broadcast back. Non-insert rows
+    get singleton run ids and are simply never batched.
+
+    The run id IS the run's starting seq (the nearest preceding break
+    row's seq), not a break count: downstream batch chunking is then
+    pure seq arithmetic — `floor((seq - _run)/batch_rows)` — and never
+    needs a per-run window, so a bulk-load run of 10^10 inserts (ONE
+    `_run` value) costs nothing beyond the bounded per-block windows."""
     ev = events.withColumn("_blk", F.floor(F.col("seq") / F.lit(block_size)))
     w = Window.partitionBy("_blk").orderBy("seq")
     prev_struct = F.struct(F.col("op"), F.col("db"), F.col("table"))
@@ -319,24 +323,27 @@ def with_insert_runs(events: DataFrame, block_size: int = 1 << 16) -> DataFrame:
         & (prev["table"] == F.col("table"))
     )
     ev = ev.withColumn("_brk", F.when(F.coalesce(extends, F.lit(False)), 0).otherwise(1))
-    local = F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    cum = (
+    # run-start seq: last non-null break seq within the block, patched on
+    # blocks whose prefix has no break yet from a metadata-scale carry of
+    # each preceding block's LAST run-start (one row per block).
+    start_seq = F.when(F.col("_brk") == 1, F.col("seq"))
+    local_start = F.last(start_seq, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry_start = (
         ev.groupBy("_blk")
-        .agg(F.sum("_brk").alias("_tot"))
+        .agg(F.max(start_seq).alias("_bs"))
         .select(
             "_blk",
-            F.coalesce(
-                F.sum("_tot").over(
-                    Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).alias("_carrysum"),
+            F.last("_bs", ignorenulls=True)
+            .over(Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1))
+            .alias("_cs"),
         )
     )
-    ev = ev.join(F.broadcast(cum), "_blk").withColumn(
-        "_run", local + F.col("_carrysum")
+    ev = ev.join(F.broadcast(carry_start), "_blk", "left").withColumn(
+        "_run", F.coalesce(local_start, F.col("_cs"))
     )
-    return ev.drop("_blk", "_rn", "_lagp", "_pc", "_brk")
+    return ev.drop("_blk", "_rn", "_lagp", "_pc", "_brk", "_cs")
 
 
 def _batched_insert_stmts(
@@ -345,17 +352,26 @@ def _batched_insert_stmts(
     """Multi-row INSERT statements from a `with_insert_runs` stream:
     one statement per (run, batch_rows-chunk), anchored at the run
     chunk's first event (seq + header columns), tuples in seq order.
-    All JVM-side: the only added shuffle is the groupBy on run ids (runs
-    are seq-contiguous, so the exchange is skew-bounded by run length,
-    which batch_rows chunking caps per output row)."""
+
+    Skew-proof chunking: `_run` is the run's starting seq, so the chunk
+    id is pure arithmetic — `floor((seq - _run)/batch_rows)` — with NO
+    per-run window. The only shuffle is the (run, chunk) groupBy, whose
+    reduce-side groups hold at most batch_rows rows regardless of run
+    length: the canonical CDC bulk load (one run of 10^9-10^10 inserts)
+    spreads across ~10^7-10^8 chunk groups instead of one window task.
+    Runs with dense seq (any unfiltered stream) chunk identically to
+    row-count chunking; on a pre-filtered stream with seq gaps a chunk
+    may hold FEWER than batch_rows tuples (never more, never crossing a
+    run) — seq-aligned seams, an acceptable output difference."""
     ins_cols = [c for c in payload_cols if not (no_primary_key and c in KEY_COLS)]
     values = F.concat_ws(",", *[sql_literal(F.col(f"after.{c}")) for c in ins_cols])
     ins = runs.filter(F.col("op") == S.OP_INSERT).select(
         "seq", "gtid_uuid", "gno", "ts", "thread_id", "db", "table", "_run",
         F.concat(F.lit("("), values, F.lit(")")).alias("_tuple"),
     )
-    wrun = Window.partitionBy("_run").orderBy("seq")
-    ins = ins.withColumn("_chunk", F.floor((F.row_number().over(wrun) - 1) / batch_rows))
+    ins = ins.withColumn(
+        "_chunk", F.floor((F.col("seq") - F.col("_run")) / F.lit(batch_rows))
+    )
     col_list = F.lit("(" + ",".join(f"`{c}`" for c in ins_cols) + ")")
     anchor = F.min_by(
         F.struct("gtid_uuid", "gno", "ts", "thread_id", "db", "table"), F.col("seq")

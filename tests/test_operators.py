@@ -561,6 +561,68 @@ def test_render_inline_no_global_window(spark, small_events):
         .executedPlan()
         .toString()
     )
-    assert "hashpartitioning(_blk" in plan or "hashpartitioning(_run" in plan
+    assert "hashpartitioning(_blk" in plan
+    # no window may partition by _run: a bulk load is ONE run, and a
+    # run-partitioned window would sort the whole load in one task
+    assert "windowspecdefinition(_run" not in plan
     for frag in plan.split("Exchange SinglePartition")[1:]:
         assert "max_by" in frag or "HashAggregate" in frag or "SortAggregate" in frag
+
+
+def test_insert_batching_one_giant_run_bounded(spark):
+    """The canonical CDC bulk load — ONE maximal run of same-table
+    INSERTs — must not concentrate on one task (VERDICT r2 #1). With
+    seq-arithmetic chunking, every task's load is bounded by block_size
+    (run-id windows) / batch_rows (chunk groups), and the output is the
+    same statements row-count chunking would produce on dense seq."""
+    from datetime import datetime, timedelta
+
+    from bingo2sql_spark import schema as S
+    from bingo2sql_spark.functions.render import render_multi_row_inserts, with_insert_runs
+
+    n, blk, batch = 5000, 256, 100
+    t0 = datetime(2024, 1, 1)
+    env = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("seq"),
+            F.lit("bin.1").alias("log_file"),
+            (F.col("id") * 10).alias("log_pos"),
+            F.lit("u").alias("gtid_uuid"),
+            F.col("id").alias("gno"),
+            (F.lit(t0) + F.make_interval(secs=F.col("id"))).alias("ts"),
+            F.lit(1).cast("long").alias("thread_id"),
+            F.lit("test").alias("db"),
+            F.lit("repo_files").alias("table"),
+            F.lit("insert").alias("op"),
+            F.lit(None)
+            .cast(
+                "struct<repo:string,path:string,commit:string,"
+                "lang:string,content:string,branch:string>"
+            )
+            .alias("before"),
+            F.struct(
+                F.concat(F.lit("r"), F.col("id")).alias("repo"),
+                F.lit("p").alias("path"),
+                F.lit("c").alias("commit"),
+                F.lit("go").alias("lang"),
+                F.concat(F.lit("x"), F.col("id")).alias("content"),
+                F.lit(None).cast("string").alias("branch"),
+            ).alias("after"),
+            F.lit(None).cast("string").alias("statement"),
+            F.lit(1).alias("schema_version"),
+        )
+    )
+    out = render_multi_row_inserts(env, batch_rows=batch)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_run" not in plan
+    stmts = {r["seq"]: r["sql"] for r in out.collect()}
+    assert set(stmts) == set(range(0, n, batch))
+    assert all(s.count("),(") == batch - 1 for s in stmts.values())
+    # run-id machinery: max rows per window partition bounded by block_size
+    runs = with_insert_runs(env, block_size=blk)
+    sizes = (
+        runs.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes <= 3 * blk  # hash(_blk) collisions may co-locate a few blocks
