@@ -393,9 +393,17 @@ def _q_ngram_jaccard(spark, sf_dir):
     from bingo2sql_spark.operators import dedup as DD
 
     # exact Jaccard is quadratic within blocks — bench on a 1/5 sample
-    # (lang-blocked); the scale path is minhash_candidate_pairs
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return DD.ngram_jaccard_pairs(docs, threshold=0.05, block_col="lang")
+    # (lang-blocked); the scale path is minhash_candidate_pairs.
+    # Doubled corpus (same trick as _q_minhash_pairs): exact twins
+    # guarantee jaccard=1.0 pairs, so the oracle parity is non-vacuous
+    # (VERDICT r2 #2). 1000000 % 5 == 0, so twins survive the sample
+    # together.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    )
+    sampled = doubled.filter(F.col("doc_id") % 5 == 0)
+    return DD.ngram_jaccard_pairs(sampled, threshold=0.05, block_col="lang")
 
 
 def _q_text_tokens(spark, sf_dir):
@@ -1018,8 +1026,10 @@ SELECT v AS doc_id, min(l) AS keeper_id FROM reach GROUP BY v
         + f" AS simhash FROM (SELECT doc_id, {_WORDS} AS _w FROM documents)"
     )
     q["dedup_ngram_jaccard"] = f"""
-WITH s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS sh
-           FROM (SELECT doc_id, lang, {_WORDS} AS _w FROM documents WHERE doc_id % 5 = 0))
+WITH dd AS (SELECT doc_id, lang, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, lang, text FROM documents),
+s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS sh
+      FROM (SELECT doc_id, lang, {_WORDS} AS _w FROM dd WHERE doc_id % 5 = 0))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(cast(len(list_intersect(a.sh, b.sh)) AS double)
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard

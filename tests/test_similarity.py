@@ -170,6 +170,52 @@ def test_minhash_bucket_cap(spark):
     assert capped.filter("id_a = 100 and id_b = 101").count() == 1  # small group kept
 
 
+def test_ngram_jaccard_nonempty_differential(spark):
+    """Exact n-gram Jaccard vs a python set-arithmetic oracle on a
+    corpus with twins, partial overlaps, short docs and cross-block
+    twins — real, NON-EMPTY ground truth for the pair/jaccard
+    arithmetic (the r2 finding: parity was 0-rows-vs-0-rows; reference
+    ethos core/parser_test.go:434-453 cross-validates on one input)."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # twin of 1
+        (3, "the quick brown fox jumps over the sleepy cat", "en"),  # overlap
+        (4, "completely unrelated text about spark shuffles", "en"),
+        (5, "the quick brown fox jumps over the lazy dog", "de"),  # other block
+        (6, "tiny", "en"),  # shorter than shingle_n -> partial shingle
+        (7, "tiny", "en"),  # twin of 6
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(df, threshold=0.1, block_col="lang").collect()
+    }
+
+    def sh(text):
+        w = text.strip().split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for i, (ida, ta, la) in enumerate(docs):
+        for idb, tb, lb in docs[i + 1 :]:
+            if la != lb:
+                continue
+            a, b = sh(ta), sh(tb)
+            if not a & b:
+                continue
+            j = len(a & b) / len(a | b)
+            if round(j, 4) >= 0.1:
+                want[(ida, idb)] = j
+    assert want[(1, 2)] == 1.0 and want[(6, 7)] == 1.0  # twins found
+    assert 0 < want[(1, 3)] < 1  # partial overlap scored
+    assert (1, 5) not in want  # lang block respected
+    assert set(got) == set(want) and len(got) >= 3
+    for k, j in want.items():
+        assert abs(got[k] - j) <= 5e-5
+
+
 def test_cosine_near_dup_multiprobe(spark, embeddings):
     """probe_bits=1 scores exactly the pairs whose SRP buckets are
     within Hamming distance 1 (and dot >= threshold), each emitted
