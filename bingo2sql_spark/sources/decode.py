@@ -112,7 +112,11 @@ def decode_events_arrow(
     datetime-µs + zero-date, exact decimal, ENUM/SET/BIT, binary WKB,
     JSON — cf. core/parser.go:1768-1858); `column_codecs` maps a payload
     column name to a vectorized `pd.Series -> pd.Series` normalizer
-    applied to both images.
+    applied to both images. For binlog JSON columns carried as raw JSONB
+    binary, use `codecs.jsonb_codec` (full MySQL json_binary decode ->
+    canonical text, goldens mirroring TestJsonV2
+    core/parser_test.go:1075-1198); `codecs.json_codec` is the
+    validation-only path for payloads the tailer already textified.
 
     The JSON parse is batch-level, not per-row: each Arrow batch's image
     column is joined into ONE JSON array string and parsed with a single
