@@ -67,9 +67,12 @@ def generate_sql(
     """The reference's parse-to-SQL-file flow, one call: filters push
     into the scan (partition pruning + row-group skipping), rendering is
     whole-stage-codegen Column expressions, the output is a globally
-    ordered text artifact (parts sort lexicographically)."""
-    if no_primary_key and flashback:
-        raise ValueError("--no-primary-key has no meaning in flashback mode")
+    ordered text artifact (parts sort lexicographically).
+
+    `no_primary_key` composes with `flashback` exactly as in the
+    reference (RemovePrimary gates generateInsertSql in BOTH modes,
+    core/parser.go:1182,1209): a flashback-inverted DELETE renders as an
+    INSERT without the key columns."""
     ev = FL.apply_filters(
         events,
         start_time=start_time,

@@ -212,15 +212,39 @@ class IcebergLiteTable:
         time-travel reads — correct for any version gap because the
         table is an LWW register per key (intermediate churn inside the
         gap is intentionally collapsed, exactly like Iceberg's net
-        changes mode). Scale: both sides share the (repo,path) bucket
-        layout, so the join shuffles once each side and AQE coalesces."""
-        old = self._read_raw(spark, version=from_version).filter(~F.col("_deleted"))
-        new = self._read_raw(spark, version=to_version).filter(~F.col("_deleted"))
+        changes mode).
+
+        Scale: the scan is pruned at the MANIFEST level to buckets whose
+        bucket->snapshot entry differs between the two versions — data
+        files are immutable, so an unchanged entry means byte-identical
+        bucket contents (an incremental v->v+1 diff reads only the
+        buckets that commit touched, not two full table scans). Both
+        sides then share the (repo,path) bucket layout, so the join
+        shuffles once each side and AQE coalesces.
+
+        The diff compares PAYLOAD columns only: a key re-upserted with a
+        byte-identical row between the snapshots is NOT an update, and
+        the internal `_ingest_seq` lineage column never leaks into the
+        changelog output (ADVICE r2)."""
+        mf, mt = self.manifest_at(from_version), self.manifest_at(to_version)
+        if mf is None or mt is None:
+            missing = from_version if mf is None else to_version
+            raise ValueError(f"snapshot {missing} does not exist (see versions())")
+        bf, bt = mf.get("buckets", {}), mt.get("buckets", {})
+        changed = sorted(
+            int(b) for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)
+        )
+        old = self._read_raw(spark, buckets=changed, version=from_version).filter(
+            ~F.col("_deleted")
+        )
+        new = self._read_raw(spark, buckets=changed, version=to_version).filter(
+            ~F.col("_deleted")
+        )
         payload = [c for c in new.columns if not c.startswith("_") and c != "bucket"]
         keys = list(S.MERGE_KEYS)
         data = [c for c in payload if c not in keys]
-        o = old.select(*keys, F.struct(*data, "_ingest_seq").alias("_old"))
-        n = new.select(*keys, F.struct(*data, "_ingest_seq").alias("_new"))
+        o = old.select(*keys, F.struct(*data).alias("_old"))
+        n = new.select(*keys, F.struct(*data).alias("_new"))
         j = o.join(n, keys, "full_outer")
         op = (
             F.when(F.col("_old").isNull(), F.lit("insert"))
@@ -440,22 +464,30 @@ class IcebergLiteTable:
     #
     # An unbounded committed-batch list would grow one entry per micro-
     # batch forever (10^7+ entries at 10^10 events). STREAMING batch ids
-    # (`stream-<epoch>`, emitted by streaming.pipeline.start_ingest) are
-    # monotone per checkpoint lineage: Structured Streaming re-delivers
-    # an epoch only until it commits, and epochs commit in order — so a
-    # per-prefix high WATERMARK is a complete dedup record for them
-    # (Iceberg keeps the same thing in snapshot summary properties).
-    # Ad-hoc batch ids carry NO ordering guarantee (a user may commit
-    # "b3" before "b2") and stay in the explicit list.
+    # (`stream-<queryId>-<epoch>`, emitted by streaming.pipeline.
+    # start_ingest) are monotone per checkpoint lineage: Structured
+    # Streaming re-delivers an epoch only until it commits, and epochs
+    # commit in order — so a high WATERMARK keyed by everything up to
+    # the trailing epoch number is a complete dedup record for them
+    # (Iceberg keys its epoch dedup by queryId the same way). The
+    # queryId in the key is load-bearing (ADVICE r2): a stream restarted
+    # with a FRESH checkpoint dir resets epochs to 0 and a second ingest
+    # query feeding the same table starts at 0 — without the scoping,
+    # every such micro-batch would be silently skipped as "already
+    # committed". Ad-hoc batch ids carry NO ordering guarantee (a user
+    # may commit "b3" before "b2") and stay in the explicit list.
 
-    #: prefixes whose numeric suffix is guaranteed monotone-committed
+    #: prefixes whose trailing numeric suffix is guaranteed
+    #: monotone-committed per watermark key (= id minus the suffix)
     WATERMARK_PREFIXES = ("stream-",)
 
     @classmethod
     def _split_batch_id(cls, batch_id: str) -> tuple[str, int] | None:
         for prefix in cls.WATERMARK_PREFIXES:
-            if batch_id.startswith(prefix) and batch_id[len(prefix):].isdigit():
-                return (prefix, int(batch_id[len(prefix):]))
+            if batch_id.startswith(prefix):
+                head, _, tail = batch_id.rpartition("-")
+                if tail.isdigit():
+                    return (head + "-", int(tail))
         return None
 
     def _already_committed(self, m: dict[str, Any], batch_id: str) -> bool:

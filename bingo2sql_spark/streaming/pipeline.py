@@ -83,6 +83,21 @@ def start_ingest(
     stream = stream.filter(F.col("op") != S.OP_DDL)
     metrics_path = os.path.join(table.path, "_metrics.jsonl")
 
+    def _query_scope() -> str:
+        """The streaming queryId from the checkpoint's metadata file —
+        stable across restarts from the SAME checkpoint, fresh for a new
+        checkpoint dir or a second query. Scoping the batch id by it
+        keeps the exactly-once watermark per checkpoint lineage: without
+        it, a fresh-checkpoint restart (epochs reset to 0) or a second
+        ingest query would have every micro-batch skipped as 'already
+        committed' (silent data loss). Iceberg keys its epoch dedup by
+        queryId the same way."""
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return json.load(f)["id"].replace("-", "")[:12]
+        except Exception:
+            return "noqid"
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # LWW happens inside the table's merge groupBy (apply.py)
         keyed = R.with_key(batch_df)
@@ -90,7 +105,7 @@ def start_ingest(
             upserts = R.to_upsert_rows_partial(keyed, schema_ver=schema_ver)
         else:
             upserts = R.to_upsert_rows(keyed, schema_ver=schema_ver)
-        m = table.commit(upserts, batch_id=f"stream-{epoch_id}")
+        m = table.commit(upserts, batch_id=f"stream-{_query_scope()}-{epoch_id}")
         m["epoch_id"] = epoch_id
         with open(metrics_path, "a") as f:
             f.write(json.dumps(m) + "\n")

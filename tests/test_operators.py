@@ -510,10 +510,20 @@ def test_generate_sql_facade(spark, small_events, tmp_path):
     assert sum(ln.count("),(") + 1 for ln in lines) == 50  # max_rows honored
     assert any("),(" in ln for ln in lines)  # minimal_insert batched
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
-        generate_sql(small_events, out, flashback=True, no_primary_key=True)
+    # flashback + no_primary_key compose (reference: RemovePrimary gates
+    # generateInsertSql in both modes, core/parser.go:1182,1209):
+    # inverted DELETE->INSERT statements drop the key columns
+    out2 = str(tmp_path / "fb_nopk")
+    generate_sql(small_events, out2, flashback=True, no_primary_key=True,
+                 show_gtid=False, show_time=False)
+    fb_lines = []
+    for p in sorted(glob.glob(out2 + "/part-*")):
+        with open(p) as f:
+            fb_lines += [ln for ln in f.read().splitlines() if ln]
+    ins = [ln for ln in fb_lines if ln.startswith("INSERT INTO")]
+    assert ins, "flashback of deletes must emit inserts"
+    assert all("`repo`" not in ln.split(" VALUES")[0] and "`path`" not in ln.split(" VALUES")[0]
+               for ln in ins)
 
 
 def test_multimodal_resize_and_frame_sampling(spark):

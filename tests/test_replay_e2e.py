@@ -233,6 +233,15 @@ def test_batch_watermark_bookkeeping(spark, small_events, tmp_path):
     assert not replay(half, t, batch_id="b3")["skipped"]
     assert not replay(half, t, batch_id="b2")["skipped"]
     assert replay(half, t, batch_id="b3")["skipped"]
+    # a DIFFERENT checkpoint lineage (fresh queryId) restarts epochs at
+    # 0 and must NOT be swallowed by another lineage's watermark
+    # (ADVICE r2: silent data loss otherwise)
+    assert not replay(half, t, batch_id="stream-qidA-0")["skipped"]
+    assert not replay(half, t, batch_id="stream-qidB-0")["skipped"]
+    assert replay(half, t, batch_id="stream-qidA-0")["skipped"]
+    assert replay(half, t, batch_id="stream-qidB-0")["skipped"]
+    wm = t.latest_manifest()["batch_watermarks"]
+    assert wm["stream-qidA-"] == 0 and wm["stream-qidB-"] == 0
     m = t.latest_manifest()
     assert set(m["committed_batches"]) == {"b3", "b2"}
 
@@ -283,6 +292,70 @@ def test_time_travel_and_changelog(spark, small_events, tmp_path):
 
     with _pytest.raises(ValueError):
         t.read(spark, version=99)
+
+
+def test_changelog_bucket_pruning_and_payload_only(spark, small_events, tmp_path):
+    """changes_between prunes the scan to buckets whose manifest entry
+    changed (VERDICT r2 #7: an incremental v->v+1 diff must not read the
+    whole table twice) and diffs PAYLOAD columns only: a byte-identical
+    re-upsert is not an 'update' and _ingest_seq never leaks into the
+    before/after images (ADVICE r2)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark import schema as S
+
+    t = IcebergLiteTable(str(tmp_path / "cp"), n_buckets=8)
+    replay(small_events, t, batch_id="p1")
+    v1 = t.latest_manifest()["version"]
+    rows = t.read(spark).orderBy("repo", "path").limit(2).collect()
+    a, bb = rows[0], rows[1]
+    head = t.head_seq()
+
+    def ev(seq, row, content):
+        img = (row["repo"], row["path"], row["commit"], row["lang"], content, row["branch"])
+        return (
+            seq, "bin.9", seq, "u", seq, datetime(2024, 6, 1), 1,
+            "test", "repo_files", "update",
+            (row["repo"], row["path"], row["commit"], row["lang"], row["content"], row["branch"]),
+            img, None, 1,
+        )
+
+    batch = spark.createDataFrame(
+        [ev(head + 1, a, a["content"]),  # byte-identical re-upsert
+         ev(head + 2, bb, bb["content"] + "!CHANGED")],
+        S.envelope_schema(),
+    )
+    replay(batch, t, batch_id="p2")
+    v2 = t.latest_manifest()["version"]
+
+    ch = t.changes_between(spark, v1, v2)
+    # images are payload-only: no internal lineage columns
+    img_fields = [f.name for f in ch.schema["before"].dataType.fields]
+    assert "_ingest_seq" not in img_fields
+    got = {(r["repo"], r["path"]): r for r in ch.collect()}
+    assert (a["repo"], a["path"]) not in got  # identical re-upsert: no change
+    keyb = (bb["repo"], bb["path"])
+    assert got[keyb]["op"] == "update"
+    assert got[keyb]["after"]["content"].endswith("!CHANGED")
+    # manifest-level pruning: only the touched buckets' files are read
+    from bingo2sql_spark.operators.apply import bucket_col
+
+    touched = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [(a["repo"], a["path"]), (bb["repo"], bb["path"])], ["repo", "path"]
+        ).select(bucket_col(8).alias("b")).collect()
+    }
+    for f in ch.inputFiles():
+        assert any(f"pbucket={b}/" in f or f"pbucket={b}%2F" in f or f"pbucket={b}" in f
+                   for b in touched), f
+    mf = t.manifest_at(v1)["buckets"]
+    mt = t.manifest_at(v2)["buckets"]
+    unchanged = [b for b in mf if mf[b] == mt.get(b)]
+    for f in ch.inputFiles():
+        assert not any(f"pbucket={b}/" in f for b in unchanged)
 
 
 def test_rollback_to_snapshot(spark, small_events, tmp_path):

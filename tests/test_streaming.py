@@ -62,11 +62,14 @@ def test_stream_ingest_and_checkpoint_resume(spark, small_events, tmp_path):
     assert all("rows_in_batch" in m for m in metrics if not m.get("skipped"))
     man = table.latest_manifest()
     assert man["lineage"] and all("log_pos" in v for v in man["lineage"].values())
-    # stream epochs dedup via the bounded per-prefix watermark (not an
-    # unbounded id list): highest committed epoch == #commits - 1
+    # stream epochs dedup via the bounded per-lineage watermark (not an
+    # unbounded id list): highest committed epoch == #commits - 1; the
+    # watermark key is scoped by the streaming queryId (ADVICE r2)
     n_commits = len([m for m in metrics if not m.get("skipped")])
     assert man["committed_batches"] == []
-    assert man["batch_watermarks"]["stream-"] == n_commits - 1
+    wm_keys = [k for k in man["batch_watermarks"] if k.startswith("stream-")]
+    assert len(wm_keys) == 1 and wm_keys[0] != "stream-"  # queryId-scoped
+    assert man["batch_watermarks"][wm_keys[0]] == n_commits - 1
 
 
 def test_stream_restart_noop_when_drained(spark, small_events, tmp_path):
