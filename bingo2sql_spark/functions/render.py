@@ -86,7 +86,7 @@ def render_sql(
     no_primary_key: bool = False,
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Envelope -> (seq, sql) rows. Semantics per reference:
+    r"""Envelope -> (seq, sql) rows. Semantics per reference:
 
     - INSERT (T1): INSERT INTO `db`.`tbl`(`c1`,...) VALUES(v1,...);
       generated columns excluded upstream (T6); --no-primary-key drops

@@ -85,6 +85,7 @@ def generate_events(
     minimal_image: bool = False,
     other_table_mod: int = 19,
     num_partitions: int | None = None,
+    ddl_every: int | None = None,
 ) -> DataFrame:
     """Build the event-envelope DataFrame (schema.ENVELOPE, v2 payload).
 
@@ -95,6 +96,13 @@ def generate_events(
 
     Keys whose hash % other_table_mod == 0 live in `meta.audit_log`
     instead of `test.repo_files` (food for the F4 schema/table filter).
+
+    `ddl_every=n` interleaves one op='ddl' Query event (with a
+    `statement` column, NULL on DML rows) after every n DML events —
+    the reference's binlog carries DDL as Query events among the row
+    events (TestParseDDL core/parser_test.go:551-610). DML seqs shift
+    by a MONOTONE map (seq' = seq + seq//n) to make room, so the
+    within-key ordering and before-image invariants are untouched.
     """
     total = n_keys * versions_per_key
     evolve_at = int(total * evolve_frac)
@@ -226,7 +234,57 @@ def generate_events(
         changed.alias("changed_cols"),
         F.when(is_v2, F.lit(2)).otherwise(F.lit(1)).cast("int").alias("schema_ver"),
     )
+    if ddl_every:
+        out = _interleave_ddl(spark, out, total=total, every=ddl_every, seed=seed)
     return out
+
+
+def _interleave_ddl(
+    spark: SparkSession, dml: DataFrame, total: int, every: int, seed: int
+) -> DataFrame:
+    """One op='ddl' row after every `every` DML events: DML seq u maps to
+    u + u//every (monotone — total order and per-key ordering survive),
+    the m-th DDL takes the freed slot (m+1)*every + m. DDL rows carry a
+    deterministic ALTER statement; their ts is the next DML event's
+    second, keeping ts weakly monotone in seq."""
+    payload_t = (
+        "struct<repo:string,path:string,commit:string,lang:string,"
+        "content:string,branch:string>"
+    )
+    dml = dml.withColumn(
+        "seq", F.col("seq") + (F.col("seq") / F.lit(every)).cast("long")
+    ).withColumn("statement", F.lit(None).cast("string"))
+    n_ddl = (total - 1) // every if total else 0
+    m = F.col("id")
+    u_next = (m + 1) * every  # unshifted seq of the event right after this DDL
+    ddl_seq = u_next + m
+    ddl = spark.range(0, n_ddl, 1, 1).select(
+        ddl_seq.alias("seq"),
+        F.concat(
+            F.lit("bin."),
+            F.lpad(((u_next / EVENTS_PER_FILE).cast("long") + 1).cast("string"), 6, "0"),
+        ).alias("log_file"),
+        (F.lit(4) + (u_next % EVENTS_PER_FILE) * 200 + _h("dpos", m, seed=seed) % 100)
+        .cast("long")
+        .alias("log_pos"),
+        F.lit(SERVER_UUIDS[0]).alias("gtid_uuid"),
+        (F.lit(total) + m).alias("gno"),
+        F.timestamp_seconds(F.lit(1704067200) + u_next).alias("ts"),
+        (_h("dthr", m, seed=seed) % 32).alias("thread_id"),
+        F.lit("test").alias("db"),
+        F.lit("repo_files").alias("table"),
+        F.lit(S.OP_DDL).alias("op"),
+        F.lit(None).cast(payload_t).alias("before"),
+        F.lit(None).cast(payload_t).alias("after"),
+        F.lit(None).cast("array<string>").alias("changed_cols"),
+        F.lit(1).cast("int").alias("schema_ver"),
+        F.concat(
+            F.lit("ALTER TABLE `test`.`repo_files` COMMENT 'ddl-"),
+            m.cast("string"),
+            F.lit("'"),
+        ).alias("statement"),
+    )
+    return dml.unionByName(ddl)
 
 
 def to_raw(events: DataFrame) -> DataFrame:

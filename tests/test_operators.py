@@ -526,6 +526,50 @@ def test_generate_sql_facade(spark, small_events, tmp_path):
                for ln in ins)
 
 
+def test_generate_sql_parse_ddl_end_to_end(spark, tmp_path):
+    """DDL interleaved in the synthetic stream (ddl_every) renders
+    `USE db;\\n<ddl>;` at the correct seq positions among the DML, and
+    flashback excludes it (model: TestParseDDL
+    core/parser_test.go:551-610)."""
+    import glob
+
+    from bingo2sql_spark.api import generate_sql
+    from bingo2sql_spark.sources.synth import generate_events
+
+    every = 25
+    ev = generate_events(spark, n_keys=40, versions_per_key=4, seed=3, ddl_every=every)
+    total = 40 * 4
+    n_ddl = (total - 1) // every
+    # interleave preserves the total order: seqs stay unique
+    assert ev.count() == total + n_ddl
+    assert ev.select("seq").distinct().count() == total + n_ddl
+    assert ev.filter("op = 'ddl'").count() == n_ddl
+
+    out = str(tmp_path / "ddl_sql")
+    generate_sql(ev, out, parse_ddl=True, show_gtid=False, show_time=False)
+    lines = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        with open(p) as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    uses = [i for i, ln in enumerate(lines) if ln == "USE `test`;"]
+    assert len(uses) == n_ddl
+    for m, i in enumerate(uses):
+        # exactly (m+1)*every DML statements precede the m-th DDL
+        # (each earlier DDL occupies two lines: USE + ALTER)
+        assert i == (m + 1) * every + 2 * m
+        assert lines[i + 1] == f"ALTER TABLE `test`.`repo_files` COMMENT 'ddl-{m}';"
+
+    # flashback never renders DDL
+    out2 = str(tmp_path / "ddl_fb")
+    generate_sql(ev, out2, flashback=True, parse_ddl=True,
+                 show_gtid=False, show_time=False)
+    fb = []
+    for p in sorted(glob.glob(out2 + "/part-*")):
+        with open(p) as f:
+            fb += f.read().splitlines()
+    assert fb and not any("ALTER TABLE" in ln or ln.startswith("USE ") for ln in fb)
+
+
 def test_multimodal_resize_and_frame_sampling(spark):
     """Resize rewrites typed meta in place; frame sampling fans one
     media row out to duration-derived (media_id, frame_idx) rows — the
