@@ -369,6 +369,12 @@ def _batched_insert_stmts(
         "seq", "gtid_uuid", "gno", "ts", "thread_id", "db", "table", "_run",
         F.concat(F.lit("("), values, F.lit(")")).alias("_tuple"),
     )
+    return _assemble_batches(ins, ins_cols, batch_rows)
+
+
+def _assemble_batches(ins: DataFrame, ins_cols: list[str], batch_rows: int) -> DataFrame:
+    """Shared multi-row statement assembly over (header cols, _run,
+    _tuple) rows — used by both the JVM and Arrow tuple builders."""
     ins = ins.withColumn(
         "_chunk", F.floor((F.col("seq") - F.col("_run")) / F.lit(batch_rows))
     )
@@ -451,13 +457,17 @@ def render_sql_arrow(
     events: DataFrame,
     payload_cols: list[str] | None = None,
     minimal_update: bool = True,
+    no_primary_key: bool = False,
 ) -> DataFrame:
     """mapInPandas renderer: same statements as render_sql, built with
     vectorized pandas string ops over Arrow batches (the reference's
     bytes.Buffer V2 builder, core/parserV2.go:29-107, vectorized).
     Use this path when per-type codecs need Python (JSON/geometry/
-    unsigned fix-ups) or for multi-row VALUES batching."""
+    unsigned fix-ups); `render_sql_arrow_inline` is the multi-row
+    VALUES variant. Full flag parity with render_sql (differentially
+    tested), so an exotic-codec payload loses nothing by switching."""
     cols = payload_cols or S.payload_columns()
+    ins_cols = [c for c in cols if not (no_primary_key and c in KEY_COLS)]
     has_ddl = "statement" in events.columns
     keep = F.col("op").isin(list(S.DML_OPS))
     if has_ddl:
@@ -481,9 +491,9 @@ def render_sql_arrow(
             if len(pdf) == 0:
                 continue
             tbl = "`" + pdf["db"] + "`.`" + pdf["table"] + "`"
-            col_list = "(" + ",".join(f"`{c}`" for c in cols) + ")"
-            values = lit(pdf[f"a_{cols[0]}"])
-            for c in cols[1:]:
+            col_list = "(" + ",".join(f"`{c}`" for c in ins_cols) + ")"
+            values = lit(pdf[f"a_{ins_cols[0]}"])
+            for c in ins_cols[1:]:
                 values = values + "," + lit(pdf[f"a_{c}"])
             insert = "INSERT INTO " + tbl + col_list + " VALUES(" + values + ");"
 
@@ -521,3 +531,59 @@ def render_sql_arrow(
             yield pd.DataFrame({"seq": pdf["seq"], "sql": sql})
 
     return flat.mapInPandas(gen, schema="seq long, sql string")
+
+
+def render_sql_arrow_inline(
+    events: DataFrame,
+    payload_cols: list[str] | None = None,
+    minimal_update: bool = True,
+    no_primary_key: bool = False,
+    batch_rows: int = 100,
+    block_size: int = 1 << 16,
+) -> DataFrame:
+    """Arrow-path twin of render_sql_inline (--minimal-insert,
+    core/parser.go:1164-1240): run ids come from the shared
+    with_insert_runs machinery, VALUES tuples are built with pandas
+    string ops in mapInPandas (the codec-friendly path), and the
+    chunk/groupBy assembly is the same skew-proof _assemble_batches the
+    JVM path uses. Output: (seq, sql) — headers intentionally trimmed to
+    the render_sql_arrow contract."""
+    cols = payload_cols or S.payload_columns()
+    ins_cols = [c for c in cols if not (no_primary_key and c in KEY_COLS)]
+    runs = with_insert_runs(events, block_size)
+    others = render_sql_arrow(
+        runs.filter(F.col("op") != S.OP_INSERT).drop("_run"),
+        cols,
+        minimal_update=minimal_update,
+        no_primary_key=no_primary_key,
+    )
+
+    flat = runs.filter(F.col("op") == S.OP_INSERT).select(
+        "seq", "gtid_uuid", "gno", "ts", "thread_id", "db", "table", "_run",
+        *[F.col(f"after.{c}").alias(f"a_{c}") for c in ins_cols],
+    )
+
+    def lit(s: pd.Series) -> pd.Series:
+        quoted = "'" + _esc_pandas(s.astype("string")) + "'"
+        return quoted.fillna("NULL")
+
+    def tuples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = lit(pdf[f"a_{ins_cols[0]}"])
+            for c in ins_cols[1:]:
+                vals = vals + "," + lit(pdf[f"a_{c}"])
+            out = pdf[["seq", "gtid_uuid", "gno", "ts", "thread_id", "db", "table", "_run"]].copy()
+            out["_tuple"] = "(" + vals + ")"
+            yield out
+
+    ins = flat.mapInPandas(
+        tuples,
+        schema=(
+            "seq long, gtid_uuid string, gno long, ts timestamp, thread_id long, "
+            "db string, table string, _run long, _tuple string"
+        ),
+    )
+    batched = _assemble_batches(ins, ins_cols, batch_rows).select("seq", "sql")
+    return batched.unionByName(others)

@@ -108,9 +108,44 @@ def test_render_arrow_matches_expr(spark, small_events):
     from bingo2sql_spark.functions.render import render_sql, render_sql_arrow
 
     sample = small_events.filter("seq % 7 = 0")
-    a = {r["seq"]: r["sql"] for r in render_sql(sample).select("seq", "sql").collect()}
-    b = {r["seq"]: r["sql"] for r in render_sql_arrow(sample).collect()}
-    assert a == b
+    for minimal_update in (True, False):
+        for no_primary_key in (True, False):
+            a = {
+                r["seq"]: r["sql"]
+                for r in render_sql(
+                    sample, minimal_update=minimal_update, no_primary_key=no_primary_key
+                ).select("seq", "sql").collect()
+            }
+            b = {
+                r["seq"]: r["sql"]
+                for r in render_sql_arrow(
+                    sample, minimal_update=minimal_update, no_primary_key=no_primary_key
+                ).collect()
+            }
+            assert a == b, (minimal_update, no_primary_key)
+
+
+def test_render_arrow_inline_matches_jvm(spark, small_events):
+    """Arrow multi-row batching == JVM render_sql_inline across the flag
+    grid (r2 gap: the Arrow path lacked no_primary_key and run
+    batching — the designated codec path silently lost two reference
+    flags)."""
+    from bingo2sql_spark.functions.render import render_sql_arrow_inline, render_sql_inline
+
+    for no_primary_key in (True, False):
+        a = {
+            r["seq"]: r["sql"]
+            for r in render_sql_inline(
+                small_events, batch_rows=10, no_primary_key=no_primary_key
+            ).select("seq", "sql").collect()
+        }
+        b = {
+            r["seq"]: r["sql"]
+            for r in render_sql_arrow_inline(
+                small_events, batch_rows=10, no_primary_key=no_primary_key
+            ).collect()
+        }
+        assert a == b, no_primary_key
 
 
 def test_render_escaping(spark):
