@@ -146,6 +146,60 @@ def render_sql(
     )
 
 
+#: super-block fan-in for the two-level block carry: block rows are
+#: N/block_size (~1.5e7 at 10^12 events) — too many for one window task;
+#: super rows are N/(block_size * SUPER_BLOCKS) (~230 at 10^12, still
+#: metadata-scale at 10^21), so ONE extra level removes the documented
+#: r2 ceiling instead of asserting it.
+SUPER_BLOCKS = 1 << 16
+
+
+def _block_lag_carry(blocks: DataFrame, col: str = "_c") -> DataFrame:
+    """lag(col) over per-block rows ordered by _blk — the value of the
+    nearest PRECEDING non-empty block — with no global single-partition
+    window over the block rows: within-super lag (hash-partitioned,
+    bounded by SUPER_BLOCKS rows) + a metadata-scale super-level lag.
+    Returns (_blk, _prev)."""
+    blocks = blocks.withColumn("_sblk", (F.col("_blk") / F.lit(SUPER_BLOCKS)).cast("long"))
+    w = Window.partitionBy("_sblk").orderBy("_blk")
+    sup = (
+        blocks.groupBy("_sblk")
+        .agg(F.max_by(F.col(col), F.col("_blk")).alias("_sc"))
+        .select("_sblk", F.lag("_sc").over(Window.orderBy("_sblk")).alias("_sprev"))
+    )
+    out = (
+        blocks.withColumn("_srn", F.row_number().over(w))
+        .withColumn("_lagc", F.lag(col).over(w))
+        .join(F.broadcast(sup), "_sblk", "left")
+    )
+    prev = F.when(F.col("_srn") == 1, F.col("_sprev")).otherwise(F.col("_lagc"))
+    return out.select("_blk", prev.alias("_prev"))
+
+
+def _block_running_last(blocks: DataFrame, col: str) -> DataFrame:
+    """last(col, ignorenulls) over per-block rows STRICTLY BEFORE each
+    block (ordered by _blk) — two-level like _block_lag_carry.
+    Returns (_blk, _prev)."""
+    blocks = blocks.withColumn("_sblk", (F.col("_blk") / F.lit(SUPER_BLOCKS)).cast("long"))
+    w = Window.partitionBy("_sblk").orderBy("_blk")
+    local = F.last(col, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nn = F.when(F.col(col).isNotNull(), F.struct(F.col("_blk"), F.col(col).alias("v")))
+    sup = (
+        blocks.groupBy("_sblk")
+        .agg(F.max(nn)["v"].alias("_sl"))
+        .select(
+            "_sblk",
+            F.last("_sl", ignorenulls=True)
+            .over(Window.orderBy("_sblk").rowsBetween(Window.unboundedPreceding, -1))
+            .alias("_scarry"),
+        )
+    )
+    out = blocks.withColumn("_local", local).join(F.broadcast(sup), "_sblk", "left")
+    return out.select("_blk", F.coalesce("_local", "_scarry").alias("_prev"))
+
+
 def decorate(
     rendered: DataFrame,
     show_gtid: bool = True,
@@ -166,10 +220,11 @@ def decorate(
     runs per seq-block (`partitionBy(floor(seq/block_size))`, a
     parallel hash-partitioned window), and each block's FIRST row is
     patched with a carry — the (gtid, sec) of the last row of the
-    nearest preceding non-empty block, computed on the tiny per-block
-    aggregate (N/block_size rows; its single-partition window is
-    metadata-scale) and broadcast back. Identical output to the global
-    window, including across block-spanning seq gaps."""
+    nearest preceding non-empty block, computed on the per-block
+    aggregate with the TWO-LEVEL _block_lag_carry (no single-partition
+    window over the block rows either: good past 10^12 events, the r2
+    ceiling) and broadcast back. Identical output to the global window,
+    including across block-spanning seq gaps."""
     out = rendered
     if show_thread:
         out = out.withColumn(
@@ -192,13 +247,10 @@ def decorate(
     )
     w = Window.partitionBy("_blk").orderBy("seq")
     # carry: last (gtid, sec) of each non-empty block, then shift to the
-    # NEXT non-empty block (tiny df — one row per block)
-    carry = (
-        out.groupBy("_blk")
-        .agg(F.max_by(F.struct(F.col("_g"), F.col("_s")), F.col("seq")).alias("_c"))
-        .select(
-            "_blk",
-            F.lag("_c").over(Window.orderBy("_blk")).alias("_prev"),
+    # NEXT non-empty block (one row per block; two-level lag)
+    carry = _block_lag_carry(
+        out.groupBy("_blk").agg(
+            F.max_by(F.struct(F.col("_g"), F.col("_s")), F.col("seq")).alias("_c")
         )
     )
     out = (
@@ -305,11 +357,9 @@ def with_insert_runs(events: DataFrame, block_size: int = 1 << 16) -> DataFrame:
     ev = events.withColumn("_blk", F.floor(F.col("seq") / F.lit(block_size)))
     w = Window.partitionBy("_blk").orderBy("seq")
     prev_struct = F.struct(F.col("op"), F.col("db"), F.col("table"))
-    carry = (
-        ev.groupBy("_blk")
-        .agg(F.max_by(prev_struct, F.col("seq")).alias("_c"))
-        .select("_blk", F.lag("_c").over(Window.orderBy("_blk")).alias("_pc"))
-    )
+    carry = _block_lag_carry(
+        ev.groupBy("_blk").agg(F.max_by(prev_struct, F.col("seq")).alias("_c"))
+    ).withColumnRenamed("_prev", "_pc")
     ev = (
         ev.withColumn("_rn", F.row_number().over(w))
         .withColumn("_lagp", F.lag(prev_struct).over(w))
@@ -330,16 +380,9 @@ def with_insert_runs(events: DataFrame, block_size: int = 1 << 16) -> DataFrame:
     local_start = F.last(start_seq, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    carry_start = (
-        ev.groupBy("_blk")
-        .agg(F.max(start_seq).alias("_bs"))
-        .select(
-            "_blk",
-            F.last("_bs", ignorenulls=True)
-            .over(Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1))
-            .alias("_cs"),
-        )
-    )
+    carry_start = _block_running_last(
+        ev.groupBy("_blk").agg(F.max(start_seq).alias("_bs")), "_bs"
+    ).withColumnRenamed("_prev", "_cs")
     ev = ev.join(F.broadcast(carry_start), "_blk", "left").withColumn(
         "_run", F.coalesce(local_start, F.col("_cs"))
     )
