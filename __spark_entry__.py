@@ -648,6 +648,38 @@ def _q_curate_corpus(spark, sf_dir):
     )
 
 
+def _q_curate_corpus_neardup(spark, sf_dir):
+    """Curation with NEAR-DUP keepers (VERDICT r2 #9): minhash-LSH pairs
+    -> connected components -> keeper semi-join, composed with the same
+    quality / language / deterministic-sample gates as curate_corpus.
+    Doubled corpus so the keeper structure is guaranteed non-trivial;
+    the oracle mirrors it with a DuckDB recursive CTE."""
+    from bingo2sql_spark.functions import text as TX
+    from bingo2sql_spark.functions.sampling import deterministic_sample
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    )
+    pairs = DD.minhash_candidate_pairs(
+        doubled.select("doc_id", "text"), k=4, bands=2, max_bucket_size=10_000
+    )
+    keepers = (
+        DD.keeper_assignment(doubled.select("doc_id", "text"), pairs)
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id")
+    )
+    kept = (
+        doubled.join(keepers, "doc_id", "left_semi")
+        .filter(TX.quality_score("text") >= 0.5)
+        .filter(F.col("lang").isin("en", "es", "de"))
+    )
+    return deterministic_sample(kept, 0.8, salt="curate").select(
+        "doc_id", "lang", TX.quality_score("text").alias("quality")
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (greedy FFD within hash groups).
     No SQL oracle — greedy bin packing is not SQL-expressible; the
@@ -708,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "sample_stratified": _q_stratified_sample,
         "curate_corpus": _q_curate_corpus,
+        "curate_corpus_neardup": _q_curate_corpus_neardup,
         "pack_sequences": _q_pack_sequences,
         "multimodal_binary_meta": _q_multimodal_meta,
         "agg_pricing_summary": _q_agg_pricing_summary,
@@ -1090,6 +1123,52 @@ SELECT q.doc_id, q.lang, q.quality
 FROM qscore q JOIN k ON q.doc_id = k.doc_id
 WHERE q.quality >= 0.5 AND q.lang IN ('en','es','de')
   AND substr(md5('curate:' || cast(q.doc_id AS varchar)), 1, 8) < '{threshold_hex(0.8)}'
+"""
+    q["curate_corpus_neardup"] = f"""
+WITH RECURSIVE d AS (SELECT doc_id, lang, text FROM documents
+           UNION ALL SELECT doc_id+1000000, lang, text FROM documents),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(_sh, s -> md5('0:' || s))) AS mh0,
+         list_min(list_transform(_sh, s -> md5('1:' || s))) AS mh1,
+         list_min(list_transform(_sh, s -> md5('2:' || s))) AS mh2,
+         list_min(list_transform(_sh, s -> md5('3:' || s))) AS mh3
+  FROM (SELECT doc_id, {_SHINGLES} AS _sh
+        FROM (SELECT doc_id, {_WORDS} AS _w FROM d))
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS digest FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || '|' || mh3) AS digest FROM sig
+),
+prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+reach(v, l) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v
+),
+keep AS (SELECT v AS doc_id FROM reach GROUP BY v HAVING min(l) = v),
+t AS (SELECT d.doc_id, d.lang, d.text, {_WORDS} AS _w
+      FROM d JOIN keep ON d.doc_id = keep.doc_id),
+m AS (SELECT doc_id, lang, len(_w) AS n,
+             round(cast(len(list_filter(_w, x -> lower(x) IN ('{sw}'))) AS double)/len(_w), 4) AS swr,
+             round(cast(list_sum(list_transform(_w, x -> length(x))) AS double)/len(_w), 4) AS atl
+      FROM t),
+qscore AS (SELECT doc_id, lang,
+       round((CASE WHEN n>=20 THEN 1.0 ELSE cast(n AS double)/20.0 END)
+             * (CASE WHEN swr BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END)
+             * (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS quality
+FROM m)
+SELECT doc_id, lang, quality
+FROM qscore
+WHERE quality >= 0.5 AND lang IN ('en','es','de')
+  AND substr(md5('curate:' || cast(doc_id AS varchar)), 1, 8) < '{threshold_hex(0.8)}'
 """
     q["sample_stratified"] = f"""
 SELECT doc_id, lang FROM documents
