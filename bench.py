@@ -126,12 +126,30 @@ def main() -> None:
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "timing": "min_of_2_runs",
     }
+    # full results (incl. per-query deltas vs the previous round) go to a
+    # FILE; the stdout line must stay under the driver's 2000-char tail
+    # capture or BENCH_r{N}.json records parsed=null (the r02 failure
+    # mode: delta_vs_prev pushed the line past the budget).
+    full = dict(out)
     prev = _prev_round_queries()
     if prev:
-        out["delta_vs_prev"] = {
+        full["delta_vs_prev"] = {
             q: round(t - prev[q], 3) for q, t in qtimes.items() if q in prev
         }
-    print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH", "bench_latest.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    out["full_results"] = "BENCH/bench_latest.json"
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the tail budget, queries are the must-keep
+        for drop in ("full_results", "timing", "final_rows", "cpus"):
+            out.pop(drop, None)
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+    print(line)
     shutil.rmtree(local_dir, ignore_errors=True)
 
 
