@@ -74,6 +74,29 @@ def test_merge_aggregate_has_partial_combine(spark):
     ), "partial agg must sit below the exchange"
 
 
+def test_commit_merge_single_exchange(spark):
+    """The commit MERGE must plan exactly ONE full-data exchange: the
+    union repartitions by bucket and the (bucket, keys) aggregate reuses
+    that partitioning (bucket is a function of the keys), so there is no
+    second shuffle between the merge and the bucket-clustered write —
+    at 10^10 events the removed exchange was ~45% of shuffled bytes."""
+    from bingo2sql_spark.operators import resolve as R
+    from bingo2sql_spark.operators.apply import _merge_batch, bucket_col
+    from bingo2sql_spark.sources.synth import generate_events
+
+    ev = generate_events(spark, n_keys=200, versions_per_key=4)
+    rows = R.to_upsert_rows(R.with_key(ev)).withColumn(
+        "bucket", bucket_col(16)
+    ).withColumnRenamed("_seq", "_ingest_seq")
+    all_cols = ["repo", "path", "commit", "lang", "content", "branch"]
+    merged = _merge_batch(rows.limit(0), rows, all_cols, partial=False, n_out=8)
+    plan = _plan(merged)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and that one exchange partitions by bucket, not by the merge keys
+    frag = plan.split("Exchange hashpartitioning", 1)[1][:120]
+    assert "bucket" in frag, frag
+
+
 def test_no_python_udf_in_relational_path(spark):
     """Filters, flashback, LWW, upsert projection: pure Column exprs —
     a BatchEvalPython/ArrowEvalPython node here would serialize the
