@@ -225,6 +225,32 @@ def _q_checkpoint_split_replay(spark, sf_dir):
     )
 
 
+def _q_changelog(spark, sf_dir):
+    """Snapshot-diff changelog (Iceberg create_changelog_view analog),
+    oracle-checked end to end: materialize the table with two commits
+    (v0 inserts, then the v1/v2 tail), then changes_between(v1, v2).
+    The scan is manifest-pruned to changed buckets and the diff is
+    payload-only (no _ingest_seq; identical re-upserts excluded)."""
+    import tempfile
+
+    from bingo2sql_spark.operators.apply import IcebergLiteTable
+    from bingo2sql_spark.pipeline import replay
+
+    env = _doc_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="bingo2sql_changelog_")
+    t = IcebergLiteTable(os.path.join(tmp, "t"), n_buckets=16)
+    m1 = replay(env.filter(F.col("seq") < 1000000), t, batch_id="h1")
+    m2 = replay(env.filter(F.col("seq") >= 1000000), t, batch_id="h2")
+    ch = t.changes_between(spark, m1["snapshot"], m2["snapshot"])
+    return ch.select(
+        "repo",
+        "path",
+        "op",
+        F.col("before.content").alias("before_content"),
+        F.col("after.content").alias("after_content"),
+    )
+
+
 def _q_time_range(spark, sf_dir):
     from bingo2sql_spark.operators import filters as FL
 
@@ -711,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_final_state": _q_lww_final_state,
         "cdc_flashback_final_state": _q_flashback_final_state,
         "cdc_checkpoint_split_replay": _q_checkpoint_split_replay,
+        "cdc_changelog_net_changes": _q_changelog,
         "cdc_time_range_filter": _q_time_range,
         "cdc_pos_range_filter": _q_pos_range,
         "cdc_gtid_filter": _q_gtid_filter,
@@ -856,6 +883,22 @@ def oracle_sql() -> dict[str, str]:
 SELECT repo, path, sha256(content) AS content_sha
 FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn FROM _ev)
 WHERE rn=1 AND op<>'delete'
+"""
+    )
+    # changelog between the v0 snapshot and the full-replay snapshot:
+    # every key exists at v1 (all v0 inserts) and its LWW winner in the
+    # second commit is the v=2 event — so the net change per key is
+    # 'delete' when v2 deleted it, else 'update' to the v2 image (the
+    # payload always differs: commit changes every version).
+    q["cdc_changelog_net_changes"] = (
+        _EV
+        + """
+SELECT e0.repo, e0.path,
+       CASE WHEN e2.op = 'delete' THEN 'delete' ELSE 'update' END AS op,
+       e0.content AS before_content,
+       CASE WHEN e2.op = 'delete' THEN NULL ELSE e2.content END AS after_content
+FROM _ev e0 JOIN _ev e2 ON e0.doc_id = e2.doc_id AND e2.v = 2
+WHERE e0.v = 0
 """
     )
     # flashback of the v>=1 tail: winner = inverted v=1 event; its after

@@ -444,9 +444,13 @@ class IcebergLiteTable:
                 current = current.withColumn(
                     "_changed_cols", F.lit(None).cast("array<string>")
                 )
-            n_out = max(
-                1, min(len(affected), batch.sparkSession.sparkContext.defaultParallelism)
-            )
+            # bucket-pure partitions (n_out <= #affected keeps exactly one
+            # file per bucket), but 4x the core count of them: with only
+            # #cores partitions the per-partition bucket-count variance
+            # (~±sqrt(buckets/partition)) makes the slowest task the stage
+            # time; smaller tasks let dynamic scheduling balance it.
+            par = batch.sparkSession.sparkContext.defaultParallelism
+            n_out = max(1, min(len(affected), 4 * par))
             merged = _merge_batch(current, batch_rows, all_cols, partial, n_out)
             merged = merged.withColumn("pbucket", F.col("bucket"))
             snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
