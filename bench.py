@@ -169,7 +169,23 @@ def _prev_round_queries() -> dict[str, float] | None:
     try:
         with open(rounds[-1]) as f:
             doc = json.load(f)
-        return (doc.get("parsed") or doc).get("queries")
+        q = (doc.get("parsed") or doc).get("queries")
+        if q:
+            return q
+        # r2-era artifacts: the stdout line outgrew the driver's 2000-char
+        # tail capture, so parsed is null — reconstruct from the tail's
+        # (complete) delta_vs_prev dict + the previous round's queries.
+        tail = doc.get("tail", "")
+        m = re.search(r'"delta_vs_prev": (\{[^{}]*\})', tail)
+        if m and len(rounds) >= 2:
+            delta = json.loads(m.group(1))
+            with open(rounds[-2]) as f:
+                prev_doc = json.load(f)
+            prev_q = (prev_doc.get("parsed") or prev_doc).get("queries") or {}
+            return {
+                k: round(prev_q[k] + d, 3) for k, d in delta.items() if k in prev_q
+            }
+        return None
     except Exception:
         return None
 
