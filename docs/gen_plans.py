@@ -29,12 +29,26 @@ from bingo2sql_spark.operators import resolve as R
 d = tempfile.mkdtemp(dir="/dev/shm")
 to_raw(generate_events(spark, n_keys=2000, versions_per_key=4)).write.mode("overwrite").parquet(d + "/raw")
 raw = spark.read.parquet(d + "/raw")
+from bingo2sql_spark.operators.apply import _merge_batch, bucket_col
 batch = R.to_upsert_rows(R.with_key(decode_events(raw.filter("op <> 'ddl'"), before_fields=["repo", "path"])))
-merged = batch.groupBy("repo", "path").agg(F.max_by(F.struct("content", "_seq"), F.col("_seq")).alias("w"))
-add("CDC replay: decode -> upsert projection -> LWW merge aggregate", merged,
-    "The before image parses ONLY the merge keys (narrow from_json). The merge "
-    "groupBy carries partial_max_by (map-side combine): shuffle bytes scale with "
-    "distinct keys per partition, not events. One wide exchange total.")
+rows = batch.withColumn("bucket", bucket_col(64)).withColumnRenamed("_seq", "_ingest_seq")
+all_cols = ["repo", "path", "commit", "lang", "content", "branch"]
+merged = _merge_batch(rows.limit(0), rows, all_cols, partial=False, n_out=64)
+add("CDC replay: decode -> upsert projection -> single-exchange MERGE", merged,
+    "The before image parses ONLY the merge keys (narrow from_json). The union is "
+    "repartitioned by bucket (the ONLY full-data exchange) and the LWW aggregate "
+    "groups by (bucket, keys) — bucket is a function of the keys, so hash(bucket) "
+    "partitioning satisfies the aggregate's clustered distribution and Catalyst "
+    "plans NO second shuffle; rows reach the pbucket-partitioned write already "
+    "clustered (one file per bucket).")
+
+from bingo2sql_spark.functions.render import render_sql_inline
+env = decode_events(raw)  # rendering needs the FULL before image (minimal SET diff)
+add("render_sql_inline (de-skewed multi-row INSERT batching)", render_sql_inline(env.filter("op <> 'ddl'")),
+    "Run ids come from per-block windows (hashpartitioning(_blk), bounded by "
+    "block_size) patched by metadata-scale two-level carries; the chunk id is seq "
+    "arithmetic — NO per-run window, so a bulk-load run of 10^10 inserts spreads "
+    "across (run, chunk) groups capped at batch_rows.")
 
 qs = E.queries()
 add("dedup_embedding_cosine (SRP buckets + probes -> per-bucket matmul)", qs["dedup_embedding_cosine"](spark, sf),
