@@ -482,6 +482,21 @@ def _q_ann_lsh(spark, sf_dir):
     return SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64, probe_bits=1)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: deterministic sampled centroids (vec_id%37==0),
+    corpus assigned to argmax-dot cells (one Arrow matmul per batch),
+    queries probe their 2 nearest cells, exact dot + top-k within. The
+    oracle mirrors the cell map exactly (integer dots, smallest-cid
+    tie-break)."""
+    from bingo2sql_spark.operators import similarity as SIM
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, queries, k=5, n_probe=2, centroid_mod=37)
+
+
 def _q_agg_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape over lineitem (general relational parity; decimal
     casts keep the sums bit-exact across engines)."""
@@ -764,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "sample_stratified": _q_stratified_sample,
         "curate_corpus": _q_curate_corpus,
@@ -1227,6 +1243,37 @@ s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
              CAST(list_dot_product(list_transform(e.embedding, x->round(cast(x AS double)*1000)),
                                    list_transform(q.qv,        x->round(cast(x AS double)*1000))) AS BIGINT) AS dot_scaled
       FROM embeddings e, q)
+SELECT query_id, neighbor_id, dot_scaled, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_scaled DESC, neighbor_id) AS rank FROM s
+) WHERE rank <= 5
+"""
+    _IDOT = (
+        "CAST(list_dot_product("
+        "list_transform({a}, x->round(cast(x AS double)*1000)), "
+        "list_transform({b}, x->round(cast(x AS double)*1000))) AS BIGINT)"
+    )
+    q["ann_ivf_topk"] = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+a AS (  -- corpus cell map: argmax integer dot, smallest cid on ties
+  SELECT vec_id, cid AS cell, embedding FROM (
+    SELECT e.vec_id, c.cid, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_IDOT.format(a='e.embedding', b='c.cv')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+qp AS (  -- each query probes its 2 nearest cells
+  SELECT query_id, cid AS cell, qv FROM (
+    SELECT q.query_id, c.cid, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_IDOT.format(a='q.qv', b='c.cv')} DESC, c.cid) AS rn
+    FROM q CROSS JOIN c)
+  WHERE rn <= 2
+),
+s AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+             {_IDOT.format(a='a.embedding', b='qp.qv')} AS dot_scaled
+      FROM qp JOIN a ON a.cell = qp.cell)
 SELECT query_id, neighbor_id, dot_scaled, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_scaled DESC, neighbor_id) AS rank FROM s
 ) WHERE rank <= 5

@@ -255,6 +255,41 @@ def test_cosine_near_dup_multiprobe(spark, embeddings):
     assert len(pairs) >= plain
 
 
+def test_ivf_topk_recall_and_determinism(spark, embeddings):
+    """IVF-flat with sampled centroids: top-1 recall vs brute force is
+    high even at n_probe=2 (cells are Voronoi around real corpus
+    points, so a query's true nearest neighbor usually shares its
+    cell), rises with n_probe, and the cell map is deterministic
+    (two runs produce identical results)."""
+    queries = embeddings.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in SIM.brute_force_topk(embeddings, queries, k=1).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in SIM.ivf_topk(
+                embeddings, queries, k=1, n_probe=n_probe, centroid_mod=11
+            ).collect()
+        }
+        hits = sum(1 for k_, v in exact.items() if got.get(k_) == v)
+        return hits / len(exact)
+
+    r2, r4 = recall(2), recall(4)
+    assert r2 >= 0.7, r2
+    assert r4 >= r2 and r4 >= 0.9, (r2, r4)
+    # determinism: identical output across runs
+    a = sorted(map(tuple, SIM.ivf_topk(embeddings, queries, k=5, n_probe=2,
+                                       centroid_mod=11).collect()))
+    b = sorted(map(tuple, SIM.ivf_topk(embeddings, queries, k=5, n_probe=2,
+                                       centroid_mod=11).collect()))
+    assert a == b
+
+
 def test_connected_components_chain_and_isolated(spark):
     """Min-label propagation crosses multi-hop chains (near-dup is not
     transitive pairwise — the component is the dedup unit) and keeps
