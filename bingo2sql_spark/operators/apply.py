@@ -34,6 +34,11 @@ Scale design (10^10 events, 100 TB table):
   buckets its batch touches (manifest-level pruning — untouched buckets
   are never listed, let alone read): the Iceberg copy-on-write MERGE
   shape. Bucketing the *composite* key spreads hot repos.
+- `write_mode="mor"` switches commits to MERGE-ON-READ (Hudi /
+  Iceberg-v2 delete-file shape): append one per-bucket delta file of
+  batch winners — O(batch) per commit, stored data never read — and
+  reconcile base ∪ deltas at read time; `compact()` folds deltas back.
+  The right mode when micro-batches are small relative to bucket data.
 - the LWW window shuffles current∪batch by the same keys the batch was
   already partitioned on; AQE coalesces the small side.
 - crash safety: the manifest rename is the commit point; data of a
@@ -140,9 +145,29 @@ def bucket_col(n_buckets: int):
 
 
 class IcebergLiteTable:
-    def __init__(self, path: str, n_buckets: int = 64):
+    """See module docstring. `write_mode`:
+
+    - "cow" (default) — copy-on-write: each commit REWRITES the buckets
+      its batch touches (merge + write). Reads are raw file scans.
+      Right when commits are large relative to bucket size, or reads
+      dominate.
+    - "mor" — merge-on-read (the Hudi/Iceberg-v2 delete-file shape):
+      each commit APPENDS one delta file per touched bucket containing
+      only the batch's per-key winners — commit cost is O(batch), never
+      O(bucket data), which is what lets a micro-batch cadence survive
+      a 100 TB table. Reads reconcile base ∪ deltas with the same LWW
+      max_by (read amplification is the trade); `compact()` folds
+      deltas back into a fresh base. Correctness (tombstones, LWW,
+      exactly-once, time-travel, changelog) is identical by
+      construction — both modes converge to the same state_checksum.
+    """
+
+    def __init__(self, path: str, n_buckets: int = 64, write_mode: str = "cow"):
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.path = path
         self.n_buckets = n_buckets
+        self.write_mode = write_mode
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
 
     # -- manifest bookkeeping ------------------------------------------------
@@ -217,21 +242,36 @@ class IcebergLiteTable:
         """Stored rows incl. internal cols; `buckets` prunes the scan at
         the manifest level; `version` time-travels to that snapshot's
         manifest (data files are immutable, so any retained manifest is
-        readable — the Iceberg snapshot-isolation property)."""
+        readable — the Iceberg snapshot-isolation property).
+
+        MERGE-ON-READ reconciliation: when the manifest carries delta
+        files (write_mode='mor' commits), the base ∪ delta scan is
+        resolved to per-key LWW winners HERE, so every consumer —
+        read(), changelog, compact, state checksum — sees register
+        semantics regardless of write mode."""
         m = self.manifest_at(version) if version is not None else self.latest_manifest()
         if version is not None and m is None:
             raise ValueError(f"snapshot {version} does not exist (see versions())")
         cols = (m or {}).get("columns", S.payload_columns())
-        if not m or not m.get("buckets"):
+        base = (m or {}).get("buckets", {})
+        deltas = (m or {}).get("deltas", {})
+        if not m or not (base or deltas):
             return self._empty_state(spark, cols)
-        items = m["buckets"].items()
+        all_bk = sorted(set(base) | set(deltas), key=int)
         if buckets is not None:
             want = {str(b) for b in buckets}
-            items = [(b, v) for b, v in items if b in want]
-        paths = [
-            os.path.join(self.path, DATA_DIR, f"snap-{v:012d}", f"pbucket={b}")
-            for b, v in items
-        ]
+            all_bk = [b for b in all_bk if b in want]
+
+        def _p(v: int, b: str) -> str:
+            return os.path.join(self.path, DATA_DIR, f"snap-{v:012d}", f"pbucket={b}")
+
+        paths, has_deltas = [], False
+        for b in all_bk:
+            if b in base:
+                paths.append(_p(base[b], b))
+            for v in deltas.get(b, []):
+                paths.append(_p(v, b))
+                has_deltas = True
         if version is not None:
             missing = [p for p in paths if not os.path.isdir(p)]
             if missing:
@@ -247,7 +287,19 @@ class IcebergLiteTable:
         for c in cols:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
-        return df.select(*cols, *INTERNAL_COLS)
+        df = df.select(*cols, *INTERNAL_COLS)
+        if has_deltas:
+            data_cols = [c for c in cols if c not in S.MERGE_KEYS]
+            winner = F.max_by(
+                F.struct(*data_cols, *INTERNAL_NO_BUCKET), F.col("_ingest_seq")
+            ).alias("_w")
+            df = (
+                df.groupBy("bucket", *S.MERGE_KEYS)
+                .agg(winner)
+                .select(*S.MERGE_KEYS, "_w.*", "bucket")
+                .select(*cols, *INTERNAL_COLS)
+            )
+        return df
 
     def read(
         self,
@@ -291,10 +343,13 @@ class IcebergLiteTable:
         if mf is None or mt is None:
             missing = from_version if mf is None else to_version
             raise ValueError(f"snapshot {missing} does not exist (see versions())")
-        bf, bt = mf.get("buckets", {}), mt.get("buckets", {})
-        changed = sorted(
-            int(b) for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)
-        )
+        def _sig(doc: dict[str, Any], b: str):
+            # a bucket's contents are pinned by (base snapshot, delta list)
+            return (doc.get("buckets", {}).get(b), tuple(doc.get("deltas", {}).get(b, [])))
+
+        bks = set(mf.get("buckets", {})) | set(mt.get("buckets", {}))
+        bks |= set(mf.get("deltas", {})) | set(mt.get("deltas", {}))
+        changed = sorted(int(b) for b in bks if _sig(mf, b) != _sig(mt, b))
         old = self._read_raw(spark, buckets=changed, version=from_version).filter(
             ~F.col("_deleted")
         )
@@ -386,7 +441,20 @@ class IcebergLiteTable:
         b = batch.withColumn("bucket", bucket_col(self.n_buckets)).withColumnRenamed(
             "_seq", "_ingest_seq"
         )
-        do_prune = bool(m["buckets"])
+        partial = "_changed_cols" in batch.columns
+        mor = self.write_mode == "mor"
+        if mor and partial:
+            raise NotImplementedError(
+                "write_mode='mor' with MINIMAL row images is not supported: a "
+                "delta row carrying only changed columns would need a per-COLUMN "
+                "read-time merge; use row_image='FULL' for MOR streams or a "
+                "'cow' table for MINIMAL ones"
+            )
+        # MOR never reads the table on commit, so the pruning pre-pass
+        # (whose only job is picking which stored buckets to read) would
+        # be a pure extra pass over the batch — Observation counts ride
+        # the single delta-write job instead.
+        do_prune = bool(m["buckets"]) and not mor
         batch_counts: dict[str, int] | None = None
         observation = None
         if do_prune:
@@ -419,7 +487,14 @@ class IcebergLiteTable:
         new_version = m["version"] + 1
 
         if affected:
-            current = self._read_raw(spark, buckets=affected)
+            if mor:
+                # delta append: the batch self-merges (per-key winners
+                # WITHIN the batch — required so a delta holds one row
+                # per key) against an empty current; stored data is
+                # neither read nor rewritten.
+                current = self._empty_state(spark, all_cols)
+            else:
+                current = self._read_raw(spark, buckets=affected)
             for c in all_cols:
                 if c not in current.columns:
                     current = current.withColumn(c, F.lit(None).cast("string"))
@@ -431,7 +506,6 @@ class IcebergLiteTable:
                 ],
                 *INTERNAL_COLS,
             )
-            partial = "_changed_cols" in batch.columns
             if partial:
                 batch_rows = b.select(
                     *[
@@ -464,25 +538,33 @@ class IcebergLiteTable:
             batch_counts = {"rows": int(got["rows"] or 0), "deletes": int(got["deletes"] or 0)}
 
         buckets_map = dict(m["buckets"])
+        deltas = {bk: list(v) for bk, v in m.get("deltas", {}).items()}
         lineage = dict(m.get("lineage", {}))
         for bk, st in written.items():
-            buckets_map[bk] = new_version
+            if mor:
+                deltas.setdefault(bk, []).append(new_version)
+            else:
+                buckets_map[bk] = new_version
             lineage[bk] = {"snapshot": new_version, **st}
         metrics = {
             "batch_id": batch_id,
             "skipped": False,
             "snapshot": new_version,
+            "mode": self.write_mode,
             "buckets_rewritten": len(written),
             "buckets_total": self.n_buckets,
             "rows_in_batch": batch_counts["rows"],
             "deletes": batch_counts["deletes"],
             "commit_secs": round(time.time() - t0, 3),
         }
+        if mor:
+            metrics["delta_depth"] = max((len(v) for v in deltas.values()), default=0)
         batches, watermarks = self._record_batch(m, batch_id)
         self._write_manifest(
             {
                 "version": new_version,
                 "buckets": buckets_map,
+                "deltas": deltas,
                 "committed_batches": batches,
                 "batch_watermarks": watermarks,
                 "columns": all_cols,
@@ -572,19 +654,23 @@ class IcebergLiteTable:
         replay older than the current head can still arrive (the Iceberg
         `expire_snapshots` + delete-file compaction analog)."""
         m = self.latest_manifest()
-        if not m or not m.get("buckets"):
+        if not m or not (m.get("buckets") or m.get("deltas")):
             return {"skipped": True, "reason": "empty table"}
-        df = self._read_raw(spark)
+        df = self._read_raw(spark)  # MOR deltas are LWW-resolved in here
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         new_version = m["version"] + 1
         snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
-        n_out = max(1, min(self.n_buckets, df.sparkSession.sparkContext.defaultParallelism))
+        n_out = max(1, min(self.n_buckets, 4 * df.sparkSession.sparkContext.defaultParallelism))
         df.withColumn("pbucket", F.col("bucket")).repartition(n_out, "pbucket").write.mode(
             "overwrite"
         ).partitionBy("pbucket").parquet(snap_dir)
-        buckets_map = {b: new_version for b in m["buckets"]}
-        self._write_manifest({**m, "version": new_version, "buckets": buckets_map})
+        written = self._bucket_footer_stats(snap_dir)
+        # deltas fold into the new base (the MOR compaction contract)
+        buckets_map = {b: new_version for b in written}
+        self._write_manifest(
+            {**m, "version": new_version, "buckets": buckets_map, "deltas": {}}
+        )
         return {"skipped": False, "snapshot": new_version}
 
     def _bucket_footer_stats(self, snap_dir: str) -> dict[str, dict[str, Any]]:
@@ -648,12 +734,19 @@ class IcebergLiteTable:
         m = self.latest_manifest()
         if not m:
             return {"removed": 0}
-        live = set(m["buckets"].values())
+
+        def _live_of(doc: dict[str, Any]) -> set[int]:
+            vs = set(doc.get("buckets", {}).values())
+            for lst in doc.get("deltas", {}).values():
+                vs |= set(lst)
+            return vs
+
+        live = _live_of(m)
         mdir = os.path.join(self.path, MANIFEST_DIR)
         names = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-") and n.endswith(".json"))
         for n in names[-keep_last:]:
             with open(os.path.join(mdir, n)) as f:
-                live |= set(json.load(f)["buckets"].values())
+                live |= _live_of(json.load(f))
         ddir = os.path.join(self.path, DATA_DIR)
         removed = 0
         if os.path.isdir(ddir):

@@ -294,6 +294,56 @@ def test_time_travel_and_changelog(spark, small_events, tmp_path):
         t.read(spark, version=99)
 
 
+def test_mor_write_mode_end_to_end(spark, small_events, tmp_path):
+    """Merge-on-read commits: each commit appends per-bucket delta files
+    (O(batch), no stored data read or rewritten); reads reconcile
+    base ∪ deltas with the same LWW — so MOR and CoW converge to the
+    IDENTICAL state checksum under the same batches. compact() folds
+    deltas into a fresh base; exactly-once, time-travel, changelog and
+    flashback all behave identically."""
+    cow = IcebergLiteTable(str(tmp_path / "cow"), n_buckets=8)
+    mor = IcebergLiteTable(str(tmp_path / "mor"), n_buckets=8, write_mode="mor")
+    parts = [
+        small_events.filter("seq < 600"),
+        small_events.filter("seq >= 600 and seq < 1200"),
+        small_events.filter("seq >= 1200"),
+    ]
+    for i, part in enumerate(parts):
+        replay(part, cow, batch_id=f"c{i}")
+        met = replay(part, mor, batch_id=f"m{i}")
+        assert met["mode"] == "mor" and not met["skipped"]
+    assert mor.state_checksum(spark) == cow.state_checksum(spark)
+    assert replay(parts[0], mor, batch_id="m0")["skipped"]  # exactly-once
+    man = mor.latest_manifest()
+    assert man["deltas"] and man["metrics"]["delta_depth"] >= 2
+    assert man["buckets"] == {}  # no base until compact
+    v_pre = man["version"]
+    state = mor.state_checksum(spark)
+
+    c = mor.compact(spark)
+    assert not c["skipped"]
+    man2 = mor.latest_manifest()
+    assert man2["deltas"] == {} and man2["buckets"]
+    assert mor.state_checksum(spark) == state
+    # time-travel to the pre-compact (delta-bearing) version still resolves
+    assert mor.read(spark, version=v_pre).count() == mor.read(spark).count()
+    # changelog across MOR versions (delta lists are part of the bucket
+    # signature, so pruning stays sound)
+    assert mor.changes_between(spark, 1, v_pre).count() > 0
+    # a MOR commit AFTER compaction layers deltas on the new base
+    bump = replay(parts[2], mor, batch_id="m3")
+    assert bump["mode"] == "mor" and mor.latest_manifest()["deltas"]
+    assert mor.state_checksum(spark) == state  # idempotent re-upsert by LWW
+    # flashback drains the table (seq rebase reads lineage from deltas)
+    replay(small_events, mor, batch_id="fb", flashback=True)
+    assert mor.read(spark).count() == 0
+    # MINIMAL row images are a loud error on MOR tables
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="mor"):
+        replay(parts[0], mor, batch_id="mm", row_image="MINIMAL")
+
+
 def test_changelog_bucket_pruning_and_payload_only(spark, small_events, tmp_path):
     """changes_between prunes the scan to buckets whose manifest entry
     changed (VERDICT r2 #7: an incremental v->v+1 diff must not read the
