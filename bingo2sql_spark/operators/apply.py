@@ -222,7 +222,8 @@ class IcebergLiteTable:
 
     # -- read path -------------------------------------------------------------
 
-    def _empty_state(self, spark: SparkSession, columns: list[str]) -> DataFrame:
+    @staticmethod
+    def _state_schema(columns: list[str]) -> T.StructType:
         fields = [T.StructField(c, T.StringType(), True) for c in columns]
         fields += [
             T.StructField("_ingest_seq", T.LongType(), True),
@@ -231,7 +232,10 @@ class IcebergLiteTable:
             T.StructField("_log_pos", T.LongType(), True),
             T.StructField("bucket", T.IntegerType(), True),
         ]
-        return spark.createDataFrame([], T.StructType(fields))
+        return T.StructType(fields)
+
+    def _empty_state(self, spark: SparkSession, columns: list[str]) -> DataFrame:
+        return spark.createDataFrame([], self._state_schema(columns))
 
     def _read_raw(
         self,
@@ -282,11 +286,14 @@ class IcebergLiteTable:
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return self._empty_state(spark, cols)
-        df = spark.read.parquet(*paths)
-        # NULL-fill payload columns added after these files were written
-        for c in cols:
-            if c not in df.columns:
-                df = df.withColumn(c, F.lit(None).cast("string"))
+        # EXPLICIT union schema from the manifest: snapshots written before
+        # a schema evolution lack the new columns, and an unconstrained
+        # parquet read adopts one random file's footer — silently DROPPING
+        # the new column's values from every file that has them. With the
+        # declared schema the reader NULL-fills missing columns per file
+        # (no mergeSchema footer sweep needed — the manifest already knows
+        # the union).
+        df = spark.read.schema(self._state_schema(cols)).parquet(*paths)
         df = df.select(*cols, *INTERNAL_COLS)
         if has_deltas:
             data_cols = [c for c in cols if c not in S.MERGE_KEYS]

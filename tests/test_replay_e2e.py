@@ -294,6 +294,39 @@ def test_time_travel_and_changelog(spark, small_events, tmp_path):
         t.read(spark, version=99)
 
 
+def test_schema_evolution_partial_bucket_rewrite(spark, tmp_path):
+    """A schema-evolving batch that touches only SOME buckets leaves
+    mixed-schema files across snapshots; the read must NULL-fill the
+    old files per-file, not adopt one random footer (which silently
+    dropped the new column's VALUES — r3 regression found by probing):
+    reads declare the manifest's union schema explicitly."""
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark.operators import resolve as R
+    from bingo2sql_spark.sources.synth import generate_events
+
+    t = IcebergLiteTable(str(tmp_path / "mix"), n_buckets=8)
+    ev1 = generate_events(spark, n_keys=200, versions_per_key=2, evolve_frac=2.0)
+    t.commit(R.to_upsert_rows(R.with_key(ev1), schema_ver=1), "b1")
+    ev2 = generate_events(
+        spark, n_keys=200, versions_per_key=3, evolve_frac=0.0
+    ).filter("seq >= 400 and seq % 67 = 0")  # few keys -> few buckets
+    t.commit(R.to_upsert_rows(R.with_key(ev2), schema_ver=2), "b2")
+    df = t.read(spark)
+    assert "branch" in df.columns
+    got = {
+        (r["repo"], r["path"]): r["branch"]
+        for r in df.filter(F.col("branch").isNotNull()).collect()
+    }
+    want = {
+        (r["after"]["repo"], r["after"]["path"]): r["after"]["branch"]
+        for r in ev2.filter("op <> 'delete'").collect()
+        if r["after"]["branch"] is not None
+    }
+    assert got and set(got) <= set(want)
+    assert all(want[k] == v for k, v in got.items())
+
+
 def test_mor_write_mode_end_to_end(spark, small_events, tmp_path):
     """Merge-on-read commits: each commit appends per-bucket delta files
     (O(batch), no stored data read or rewritten); reads reconcile
