@@ -43,6 +43,7 @@ def decode_events(
     raw: DataFrame,
     schema_ver: int = S.LATEST_SCHEMA_VER,
     before_fields: list[str] | None = None,
+    on_corrupt: str = "fail",
 ) -> DataFrame:
     """JVM decode: JSON images -> typed structs of the requested schema
     version (missing fields -> NULL, extra fields ignored = dropped).
@@ -55,7 +56,17 @@ def decode_events(
     and the JSON schema-pruning rule never fires. Narrowing the schema
     explicitly skips tokenizing the payload columns (content dominates
     bytes) — measurable decode savings at 10^10 events. Not for
-    flashback/render paths, which need the full before image."""
+    flashback/render paths, which need the full before image.
+
+    `on_corrupt`: by default from_json PERMISSIVE-parses, so a MALFORMED
+    image silently becomes a struct of all-NULL fields and melts into a
+    NULL-keyed upsert — silent corruption. "fail" (default) parses with
+    mode=FAILFAST, raising on the first bad record with the offending
+    text (the reference likewise hard-fails on unparseable binlog
+    events); "keep" restores PERMISSIVE for forensic pipelines that
+    filter corrupt rows themselves."""
+    if on_corrupt not in ("fail", "keep"):
+        raise ValueError(f"on_corrupt must be 'fail' or 'keep', got {on_corrupt!r}")
     payload = S.payload_schema(schema_ver)
     before_schema = payload
     if before_fields is not None:
@@ -63,10 +74,16 @@ def decode_events(
 
         want = set(before_fields)
         before_schema = T.StructType([f for f in payload.fields if f.name in want])
+
+    def img(json_col: str, schema) -> F.Column:
+        if on_corrupt == "fail":
+            return F.from_json(json_col, schema, {"mode": "FAILFAST"})
+        return F.from_json(json_col, schema)
+
     return raw.select(
         *_HEADER,
-        F.from_json("before_json", before_schema).alias("before"),
-        F.from_json("after_json", payload).alias("after"),
+        img("before_json", before_schema).alias("before"),
+        img("after_json", payload).alias("after"),
         "changed_cols",
         "schema_ver",
     )

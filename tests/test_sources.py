@@ -152,3 +152,29 @@ def test_pack_sequences_properties(spark):
     brows = pack_sequences(big, budget=2048).collect()
     bb = {r["doc_id"]: r for r in brows}
     assert bb[1]["bin_id"] != bb[2]["bin_id"]
+
+
+def test_decode_malformed_image_is_loud(spark):
+    """A malformed row image must FAIL the decode (mode=FAILFAST), not
+    PERMISSIVE-melt into an all-NULL struct that merges as a NULL-keyed
+    upsert (silent corruption; the reference hard-fails on unparseable
+    binlog events). on_corrupt='keep' restores the forensic PERMISSIVE
+    path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark.sources.decode import decode_events
+    from bingo2sql_spark.sources.synth import generate_events, to_raw
+
+    raw = to_raw(generate_events(spark, n_keys=50, versions_per_key=2))
+    bad = raw.withColumn(
+        "after_json",
+        F.when(F.col("seq") == 5, F.lit("{oops")).otherwise(F.col("after_json")),
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        decode_events(bad).select("after").collect()
+    kept = decode_events(bad, on_corrupt="keep")
+    assert kept.filter("seq = 5").collect()[0]["after"]["repo"] is None
+    # clean streams decode identically under the default
+    n = decode_events(raw).filter("after.repo is not null").count()
+    assert n == raw.filter("op <> 'delete'").count()
