@@ -150,3 +150,35 @@ def test_stream_ingest_raw_jsonl_source(spark, small_events, tmp_path):
 
     replay(small_events, ref, batch_id="ref", tables=["repo_files"])
     assert table.state_checksum(spark) == ref.state_checksum(spark)
+
+
+def test_stream_ingest_mor_table(spark, small_events, tmp_path):
+    """Streaming ingest into a merge-on-read table: every micro-batch is
+    a delta append (no stored data read), restart from the checkpoint is
+    a no-op, and the final state equals the sequential oracle."""
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    _write_ordered(small_events, land)
+
+    table = IcebergLiteTable(str(tmp_path / "mor"), n_buckets=8, write_mode="mor")
+    q = start_ingest(spark, land, table, ckpt, max_files_per_trigger=3)
+    q.awaitTermination(120)
+
+    pdf = small_events.select("seq", "op", "before", "after").toPandas()
+    assert table.state_checksum(spark) == oracle.state_checksum(
+        oracle.sequential_apply(pdf)
+    )
+    mets = [m for m in read_metrics(table) if not m.get("skipped")]
+    assert len(mets) >= 2 and all(m["mode"] == "mor" for m in mets)
+    assert table.latest_manifest()["metrics"]["delta_depth"] >= 2
+
+    # restart on a drained landing zone commits nothing new
+    q2 = start_ingest(spark, land, table, ckpt, max_files_per_trigger=3)
+    q2.awaitTermination(120)
+    assert len([m for m in read_metrics(table) if not m.get("skipped")]) == len(mets)
+    # compaction preserves the streamed state
+    table.compact(spark)
+    assert table.state_checksum(spark) == oracle.state_checksum(
+        oracle.sequential_apply(pdf)
+    )
