@@ -162,12 +162,23 @@ class IcebergLiteTable:
       construction — both modes converge to the same state_checksum.
     """
 
-    def __init__(self, path: str, n_buckets: int = 64, write_mode: str = "cow"):
+    def __init__(
+        self,
+        path: str,
+        n_buckets: int = 64,
+        write_mode: str = "cow",
+        max_delta_depth: int | None = None,
+    ):
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
         self.path = path
         self.n_buckets = n_buckets
         self.write_mode = write_mode
+        #: MOR maintenance policy: when any bucket's delta list exceeds
+        #: this depth after a commit, compact() runs inline (the Hudi
+        #: "inline compaction" knob) — bounds read amplification without
+        #: an external maintenance job. None = manual compaction only.
+        self.max_delta_depth = max_delta_depth
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
 
     # -- manifest bookkeeping ------------------------------------------------
@@ -579,6 +590,17 @@ class IcebergLiteTable:
                 "metrics": metrics,
             }
         )
+        if (
+            mor
+            and self.max_delta_depth is not None
+            and metrics["delta_depth"] > self.max_delta_depth
+        ):
+            # inline compaction (after the commit point, so the batch is
+            # durable either way; a crash here just leaves deltas for the
+            # next compaction to fold)
+            c = self.compact(spark)
+            metrics["compacted_to"] = c.get("snapshot")
+            metrics["delta_depth"] = 0
         return metrics
 
     # -- exactly-once batch-id bookkeeping ------------------------------------

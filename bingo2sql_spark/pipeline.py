@@ -36,6 +36,15 @@ def replay(
     Catalyst pushes them into the scan."""
     ev = FL.apply_filters(events, flashback=flashback, **filter_kwargs)
     ev = ev.filter(F.col("op") != S.OP_DDL)
+    if flashback and row_image == "MINIMAL":
+        # same constraint as MySQL flashback tooling: rollback needs the
+        # FULL before image; a MINIMAL stream never logged the unchanged
+        # columns, so the inverted UPDATE would silently NULL them.
+        raise NotImplementedError(
+            "flashback over MINIMAL row images is not possible: unchanged "
+            "columns were never logged (set binlog_row_image=FULL upstream, "
+            "as the reference requires for flashback)"
+        )
     if flashback:
         # rollback becomes NEW log traffic past the head (see flashback.py)
         batch_max = ev.agg(F.max("seq")).collect()[0][0] or 0

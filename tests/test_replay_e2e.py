@@ -375,6 +375,34 @@ def test_mor_write_mode_end_to_end(spark, small_events, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="mor"):
         replay(parts[0], mor, batch_id="mm", row_image="MINIMAL")
+    # ... and flashback over MINIMAL images is impossible anywhere (the
+    # unchanged columns were never logged)
+    with _pytest.raises(NotImplementedError, match="MINIMAL"):
+        replay(parts[0], cow, batch_id="fbm", flashback=True, row_image="MINIMAL")
+
+
+def test_mor_inline_auto_compaction(spark, small_events, tmp_path):
+    """max_delta_depth bounds read amplification: the commit that pushes
+    any bucket past the depth triggers inline compaction — deltas fold
+    into a fresh base, state unchanged."""
+    t = IcebergLiteTable(
+        str(tmp_path / "ac"), n_buckets=8, write_mode="mor", max_delta_depth=2
+    )
+    parts = [small_events.filter(f"seq % 3 = {i}") for i in range(3)]
+    m0 = replay(parts[0], t, batch_id="a0")
+    m1 = replay(parts[1], t, batch_id="a1")
+    assert "compacted_to" not in m0 and "compacted_to" not in m1
+    m2 = replay(parts[2], t, batch_id="a2")  # depth 3 > 2 -> compacts
+    assert m2.get("compacted_to") and m2["delta_depth"] == 0
+    man = t.latest_manifest()
+    assert man["deltas"] == {} and man["buckets"]
+    # state equals an uncompacted cow replay of the same batches
+    ref = IcebergLiteTable(str(tmp_path / "ac_ref"), n_buckets=8)
+    for i, p in enumerate(parts):
+        replay(p, ref, batch_id=f"r{i}")
+    assert t.state_checksum(spark) == ref.state_checksum(spark)
+    # the auto-compaction snapshot does not break exactly-once
+    assert replay(parts[2], t, batch_id="a2")["skipped"]
 
 
 def test_changelog_bucket_pruning_and_payload_only(spark, small_events, tmp_path):
