@@ -102,3 +102,69 @@ def test_threshold_hex_monotone(f):
 def test_bit_codec_bytes(v):
     raw = v.to_bytes(8, "big")
     assert C.bit_codec(pd.Series([raw], dtype="object")).iloc[0] == str(v)
+
+
+# --- JSONB binary decode round-trip -----------------------------------------
+# The test-side encoder (tests/test_codecs.py) and decode_jsonb are
+# independent implementations of the public json_binary layout; random
+# JSON values must round-trip to the canonical text python produces.
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.text(max_size=40),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(min_size=1, max_size=10), children, max_size=5),
+    ),
+    max_leaves=12,
+)
+
+
+def _canon(v) -> str:
+    import json as _json
+
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return _json.dumps(v, ensure_ascii=True)
+    if isinstance(v, list):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        import json as _j
+
+        return (
+            "{"
+            + ",".join(_j.dumps(k, ensure_ascii=True) + ":" + _canon(v[k])
+                       for k in sorted(v))
+            + "}"
+        )
+    raise TypeError(type(v))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_json_values)
+def test_jsonb_roundtrip_random_values(v):
+    from tests.test_codecs import _blob
+
+    assert C.decode_jsonb(_blob(v)) == _canon(v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_json_values)
+def test_jsonb_roundtrip_large_format(v):
+    from tests.test_codecs import _blob
+
+    if not isinstance(v, (list, dict)):
+        return
+    assert C.decode_jsonb(_blob(v, force_large=True)) == _canon(v)
