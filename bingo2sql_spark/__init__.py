@@ -39,4 +39,8 @@ def __getattr__(name):  # lazy top-level API (avoids import cycles)
         from bingo2sql_spark.session import get_spark
 
         return get_spark
+    if name == "ParseService":
+        from bingo2sql_spark.service import ParseService
+
+        return ParseService
     raise AttributeError(name)

@@ -1,0 +1,191 @@
+"""S8 — the reference's HTTP parse service, Spark-native.
+
+The reference runs an async-job HTTP server (routes cmd/server.go:120-139):
+POST /binlog/parse launches a parse job, GET /parse/:id reports progress,
+DELETE /parse/:id stops it, GET /parse/:id/download serves the artifact
+(handlers parse/bingo2sql.go:102-166,41-62,168-205,207-225; the 5-second
+websocket progress push core/socket.go:34-76).
+
+Here the same surface is two layers:
+
+- `ParseService` — the job manager: submit() runs `api.generate_sql` on a
+  daemon thread under a per-job Spark job group; progress() derives live
+  percent from the SparkStatusTracker's task counters for that group (the
+  reference's {rows, pct} push, without a socket); stop() cancels the job
+  group (DELETE analog); download_path() returns the finished artifact dir.
+- `serve()` — an OPTIONAL stdlib ThreadingHTTPServer exposing the
+  reference's routes over real HTTP. No third-party web framework: the
+  service is a library first (the driver contract has no ports), the HTTP
+  face is for parity.
+
+Thread-safety note: PySpark pins python threads to JVM threads
+(PYSPARK_PIN_THREAD, default on), so setJobGroup inside the worker thread
+scopes cancellation to exactly that job's stages.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bingo2sql_spark.api import generate_sql
+
+
+@dataclass
+class _Job:
+    job_id: str
+    out_dir: str
+    state: str = "running"  # running | done | failed | cancelled
+    error: str | None = None
+    submitted_at: float = field(default_factory=time.time)
+    finished_at: float | None = None
+
+
+class ParseService:
+    """Async parse-job manager (reference S8 semantics)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._jobs: dict[str, _Job] = {}
+        self._lock = threading.Lock()
+
+    # -- POST /binlog/parse ---------------------------------------------------
+    def submit(self, events: DataFrame, out_dir: str, **flags: Any) -> str:
+        """Launch generate_sql(events, out_dir, **flags) asynchronously;
+        returns the job id immediately (the reference's 202 + id,
+        parse/bingo2sql.go:102-166)."""
+        job_id = uuid.uuid4().hex[:12]
+        job = _Job(job_id=job_id, out_dir=out_dir)
+        with self._lock:
+            self._jobs[job_id] = job
+
+        def run() -> None:
+            sc = self.spark.sparkContext
+            sc.setJobGroup(job_id, f"bingo2sql parse {job_id}", interruptOnCancel=True)
+            try:
+                generate_sql(events, out_dir, **flags)
+                job.state = "done"
+            except Exception as e:  # noqa: BLE001 - job state carries the error
+                job.state = "cancelled" if job.state == "cancelling" else "failed"
+                job.error = str(e)[:500]
+            finally:
+                job.finished_at = time.time()
+                sc.setJobGroup("", "")
+
+        threading.Thread(target=run, name=f"parse-{job_id}", daemon=True).start()
+        return job_id
+
+    # -- GET /parse/:id ---------------------------------------------------------
+    def progress(self, job_id: str) -> dict[str, Any]:
+        """Job state + live percent from the status tracker's task
+        counters for this job group (the reference's {rows, pct} push,
+        core/socket.go:34-76 / TestComputePercent analog)."""
+        job = self._get(job_id)
+        pct = 100.0 if job.state == "done" else 0.0
+        if job.state in ("running", "cancelling"):
+            tracker = self.spark.sparkContext.statusTracker()
+            total = done = 0
+            for jid in tracker.getJobIdsForGroup(job_id):
+                ji = tracker.getJobInfo(jid)
+                if ji is None:
+                    continue
+                for sid in ji.stageIds:
+                    si = tracker.getStageInfo(sid)
+                    if si is None:
+                        continue
+                    total += si.numTasks
+                    done += si.numCompletedTasks
+            pct = round(100.0 * done / total, 1) if total else 0.0
+        return {
+            "job_id": job_id,
+            "state": job.state,
+            "pct": pct,
+            "error": job.error,
+            "runtime_secs": round((job.finished_at or time.time()) - job.submitted_at, 3),
+        }
+
+    # -- DELETE /parse/:id -------------------------------------------------------
+    def stop(self, job_id: str) -> dict[str, Any]:
+        """Cancel the job group (reference stop handler,
+        parse/bingo2sql.go:168-205)."""
+        job = self._get(job_id)
+        if job.state == "running":
+            job.state = "cancelling"
+            self.spark.sparkContext.cancelJobGroup(job_id)
+        return {"job_id": job_id, "state": job.state}
+
+    # -- GET /parse/:id/download ---------------------------------------------------
+    def download_path(self, job_id: str) -> str:
+        """Artifact location of a finished job (the reference streams the
+        tar.gz; here the ordered text-part directory)."""
+        job = self._get(job_id)
+        if job.state != "done":
+            raise ValueError(f"job {job_id} is {job.state}, not done")
+        return job.out_dir
+
+    def _get(self, job_id: str) -> _Job:
+        with self._lock:
+            if job_id not in self._jobs:
+                raise KeyError(f"unknown parse job {job_id!r}")
+            return self._jobs[job_id]
+
+
+def serve(service: ParseService, events: DataFrame, host: str = "127.0.0.1", port: int = 0):
+    """Stdlib HTTP face over ParseService with the reference's routes
+    (cmd/server.go:120-139). `events` is the pre-bound source stream (the
+    reference binds its source from the posted config; the driver contract
+    here passes DataFrames, so the POST body carries only flags). Returns
+    the started server; call .shutdown() to stop. Port 0 picks a free port
+    (server.server_address[1])."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):  # noqa: N802 (stdlib API)
+            if self.path != "/binlog/parse":
+                return self._send(404, {"error": "not found"})
+            n = int(self.headers.get("Content-Length", 0))
+            flags = json.loads(self.rfile.read(n) or b"{}")
+            out_dir = flags.pop("out_dir")
+            job_id = service.submit(events, out_dir, **flags)
+            self._send(202, {"job_id": job_id})
+
+        def do_GET(self):  # noqa: N802
+            parts = self.path.strip("/").split("/")
+            try:
+                if len(parts) == 2 and parts[0] == "parse":
+                    return self._send(200, service.progress(parts[1]))
+                if len(parts) == 3 and parts[0] == "parse" and parts[2] == "download":
+                    return self._send(200, {"path": service.download_path(parts[1])})
+            except (KeyError, ValueError) as e:
+                return self._send(404, {"error": str(e)})
+            self._send(404, {"error": "not found"})
+
+        def do_DELETE(self):  # noqa: N802
+            parts = self.path.strip("/").split("/")
+            if len(parts) == 2 and parts[0] == "parse":
+                try:
+                    return self._send(200, service.stop(parts[1]))
+                except KeyError as e:
+                    return self._send(404, {"error": str(e)})
+            self._send(404, {"error": "not found"})
+
+        def log_message(self, *a):  # silence per-request stderr noise
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

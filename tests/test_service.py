@@ -1,0 +1,102 @@
+"""S8 — async parse service: submit/progress/stop/download semantics and
+the stdlib HTTP face (reference routes cmd/server.go:120-139, handlers
+parse/bingo2sql.go:102-225)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import time
+import urllib.request
+
+from bingo2sql_spark.service import ParseService, serve
+from bingo2sql_spark.sources.synth import generate_events
+
+
+def _wait(svc, job_id, timeout=120):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        p = svc.progress(job_id)
+        if p["state"] not in ("running", "cancelling"):
+            return p
+        time.sleep(0.5)
+    raise AssertionError(f"job {job_id} did not finish: {svc.progress(job_id)}")
+
+
+def test_parse_service_submit_progress_download(spark, tmp_path):
+    svc = ParseService(spark)
+    ev = generate_events(spark, n_keys=100, versions_per_key=3)
+    out = str(tmp_path / "art")
+    job = svc.submit(ev, out, tables=["repo_files"], show_gtid=False)
+    p = _wait(svc, job)
+    assert p["state"] == "done" and p["pct"] == 100.0 and p["error"] is None
+    path = svc.download_path(job)
+    lines = [ln for f in sorted(glob.glob(path + "/part-*")) for ln in open(f) if ln.strip()]
+    assert lines and all(
+        ln.startswith(("INSERT INTO", "UPDATE ", "DELETE FROM")) for ln in lines
+    )
+    # unknown job ids are loud
+    import pytest
+
+    with pytest.raises(KeyError):
+        svc.progress("nope")
+    with pytest.raises(ValueError):
+        # a running/failed job has no artifact; simulate via a fresh submit
+        svc.download_path(svc.submit(ev, str(tmp_path / "art2")))
+
+
+def test_parse_service_stop_cancels(spark, tmp_path):
+    """DELETE /parse/:id analog: cancelling the job group interrupts the
+    run; the job ends in a non-done state and never produces a complete
+    artifact marker."""
+    svc = ParseService(spark)
+    # big enough to still be running when the cancel lands
+    ev = generate_events(spark, n_keys=200_000, versions_per_key=8)
+    out = str(tmp_path / "big")
+    job = svc.submit(ev, out, show_gtid=False)
+    time.sleep(1.0)
+    svc.stop(job)
+    p = _wait(svc, job)
+    if p["state"] == "done":  # tiny chance it finished before the cancel
+        return
+    assert p["state"] in ("cancelled", "failed")
+
+
+def test_parse_service_http_face(spark, tmp_path):
+    """The stdlib HTTP wrapper speaks the reference's routes."""
+    svc = ParseService(spark)
+    ev = generate_events(spark, n_keys=50, versions_per_key=2)
+    server = serve(svc, ev)
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            base + "/binlog/parse",
+            data=json.dumps({"out_dir": str(tmp_path / "h"), "show_gtid": False}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 202
+            job = json.loads(r.read())["job_id"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with urllib.request.urlopen(f"{base}/parse/{job}") as r:
+                p = json.loads(r.read())
+            if p["state"] != "running":
+                break
+            time.sleep(0.5)
+        assert p["state"] == "done", p
+        with urllib.request.urlopen(f"{base}/parse/{job}/download") as r:
+            path = json.loads(r.read())["path"]
+        assert glob.glob(path + "/part-*")
+        # DELETE on a finished job is a no-op state echo; unknown id -> 404
+        req = urllib.request.Request(f"{base}/parse/{job}", method="DELETE")
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["state"] == "done"
+        try:
+            urllib.request.urlopen(f"{base}/parse/zzz")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
