@@ -13,7 +13,7 @@ from bingo2sql_spark.service import ParseService, serve
 from bingo2sql_spark.sources.synth import generate_events
 
 
-def _wait(svc, job_id, timeout=120):
+def _wait(svc, job_id, timeout=240):
     deadline = time.time() + timeout
     while time.time() < deadline:
         p = svc.progress(job_id)
@@ -29,7 +29,7 @@ def test_parse_service_submit_progress_download(spark, tmp_path):
     out = str(tmp_path / "art")
     job = svc.submit(ev, out, tables=["repo_files"], show_gtid=False)
     p = _wait(svc, job)
-    assert p["state"] == "done" and p["pct"] == 100.0 and p["error"] is None
+    assert p["state"] == "done" and p["pct"] == 100.0 and p["error"] is None, p
     path = svc.download_path(job)
     lines = [ln for f in sorted(glob.glob(path + "/part-*")) for ln in open(f) if ln.strip()]
     assert lines and all(
