@@ -178,3 +178,43 @@ def test_decode_malformed_image_is_loud(spark):
     # clean streams decode identically under the default
     n = decode_events(raw).filter("after.repo is not null").count()
     assert n == raw.filter("op <> 'delete'").count()
+
+
+def test_longtext_10mb_roundtrip(spark, tmp_path):
+    """The reference's 10 MB LONGTEXT case (core/parser_test.go:814-847):
+    a payload of that size — with embedded quotes/newlines/backslashes —
+    survives the raw-wire JSON encode -> decode -> MERGE replay with
+    byte equality, and renders one INSERT whose escaped literal is
+    intact at both ends."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark import schema as S
+    from bingo2sql_spark.functions.render import render_sql
+    from bingo2sql_spark.operators.apply import IcebergLiteTable
+    from bingo2sql_spark.pipeline import replay
+    from bingo2sql_spark.sources.decode import decode_events
+    from bingo2sql_spark.sources.synth import to_raw
+
+    big = ("x'y\\z\nq\"w|" * 1000 + "END") * 1100  # ~11 MB with specials
+    assert len(big) > 10_000_000
+    img = ("r1", "p1", "c1", "go", big, None)
+    env = spark.createDataFrame(
+        [(1, "bin.1", 4, "u", 1, datetime(2024, 1, 1), 1, "test", "repo_files",
+          "insert", None, img, None, 1)],
+        S.envelope_schema(),
+    )
+    decoded = decode_events(to_raw(env))
+    got = decoded.collect()[0]["after"]["content"]
+    assert got == big  # JSON wire round-trip is byte-exact
+
+    t = IcebergLiteTable(str(tmp_path / "big"), n_buckets=4)
+    replay(decoded, t, batch_id="b")
+    stored = t.read(spark).collect()[0]["content"]
+    assert stored == big
+
+    sql = render_sql(decoded).collect()[0]["sql"]
+    assert len(sql) > len(big)
+    assert sql.startswith("INSERT INTO `test`.`repo_files`")
+    assert sql.endswith("',NULL);") and "\\n" in sql and "\\'" in sql
