@@ -452,6 +452,17 @@ class IcebergLiteTable:
         }
         if self._already_committed(m, batch_id):
             return {"batch_id": batch_id, "skipped": True, "reason": "already committed"}
+        # bucket count is part of the table's physical identity: batch rows
+        # bucketed with a DIFFERENT n_buckets than the stored rows would
+        # land the same key in two (bucket, key) merge groups — silent
+        # per-key duplicates. Stored in the manifest; mismatches are loud.
+        stored_n = m.get("n_buckets")
+        if stored_n is not None and stored_n != self.n_buckets:
+            raise ValueError(
+                f"table at {self.path} was created with n_buckets={stored_n}, "
+                f"opened with n_buckets={self.n_buckets}; rebucketing requires a "
+                "full rewrite (read -> new table), not a commit"
+            )
 
         payload_cols = [c for c in batch.columns if not c.startswith("_")]
         all_cols = list(dict.fromkeys(m["columns"] + payload_cols))  # schema evolution: union
@@ -581,6 +592,7 @@ class IcebergLiteTable:
         self._write_manifest(
             {
                 "version": new_version,
+                "n_buckets": self.n_buckets,
                 "buckets": buckets_map,
                 "deltas": deltas,
                 "committed_batches": batches,

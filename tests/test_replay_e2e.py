@@ -514,3 +514,21 @@ def test_concurrent_commit_detected(spark, small_events, tmp_path):
         t._write_manifest(dict(winner))
     # table remains readable and consistent
     assert t.read(spark).count() > 0
+
+
+def test_n_buckets_mismatch_is_loud(spark, small_events, tmp_path):
+    """Reopening a table with a different n_buckets would bucket new
+    rows differently than stored ones — the same key would occupy TWO
+    (bucket, key) merge groups, i.e. silent per-key duplicates. The
+    manifest pins the bucket count; a mismatched commit raises."""
+    import pytest
+
+    p = str(tmp_path / "nb")
+    t8 = IcebergLiteTable(p, n_buckets=8)
+    replay(small_events.filter("seq < 500"), t8, batch_id="a")
+    t16 = IcebergLiteTable(p, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        replay(small_events.filter("seq >= 500"), t16, batch_id="b")
+    # same bucket count reopens fine
+    t8b = IcebergLiteTable(p, n_buckets=8)
+    assert not replay(small_events.filter("seq >= 500"), t8b, batch_id="b")["skipped"]
