@@ -709,8 +709,20 @@ class IcebergLiteTable:
         written = self._bucket_footer_stats(snap_dir)
         # deltas fold into the new base (the MOR compaction contract)
         buckets_map = {b: new_version for b in written}
+        metrics = {
+            "op": "compact",
+            "snapshot": new_version,
+            "buckets_rewritten": len(written),
+            "dropped_tombstones": bool(drop_tombstones),
+        }
         self._write_manifest(
-            {**m, "version": new_version, "buckets": buckets_map, "deltas": {}}
+            {
+                **m,
+                "version": new_version,
+                "buckets": buckets_map,
+                "deltas": {},
+                "metrics": metrics,
+            }
         )
         return {"skipped": False, "snapshot": new_version}
 

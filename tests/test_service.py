@@ -100,3 +100,19 @@ def test_parse_service_http_face(spark, tmp_path):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_parse_service_concurrent_jobs(spark, tmp_path):
+    """Two jobs share the SparkContext but are independently tracked:
+    per-job groups keep progress and artifacts separate."""
+    svc = ParseService(spark)
+    # versions_per_key >= 4: deletes only occur at v % 4 == 3
+    ev = generate_events(spark, n_keys=60, versions_per_key=8)
+    j1 = svc.submit(ev, str(tmp_path / "a"), sql_type=["insert"], show_gtid=False)
+    j2 = svc.submit(ev, str(tmp_path / "b"), sql_type=["delete"], show_gtid=False)
+    p1, p2 = _wait(svc, j1), _wait(svc, j2)
+    assert p1["state"] == "done" and p2["state"] == "done", (p1, p2)
+    a = [ln for f in glob.glob(svc.download_path(j1) + "/part-*") for ln in open(f) if ln.strip()]
+    b = [ln for f in glob.glob(svc.download_path(j2) + "/part-*") for ln in open(f) if ln.strip()]
+    assert a and all(ln.startswith("INSERT") for ln in a)
+    assert b and all(ln.startswith("DELETE") for ln in b)
