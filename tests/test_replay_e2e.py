@@ -532,3 +532,20 @@ def test_n_buckets_mismatch_is_loud(spark, small_events, tmp_path):
     # same bucket count reopens fine
     t8b = IcebergLiteTable(p, n_buckets=8)
     assert not replay(small_events.filter("seq >= 500"), t8b, batch_id="b")["skipped"]
+
+
+def test_expire_snapshots_keeps_mor_deltas_live(spark, small_events, tmp_path):
+    """expire_snapshots must treat delta versions as live data (they are
+    referenced by the deltas map, not the buckets map): aggressive
+    expiry on a MOR table leaves the current state readable."""
+    t = IcebergLiteTable(str(tmp_path / "exp"), n_buckets=8, write_mode="mor")
+    parts = [small_events.filter(f"seq % 3 = {i}") for i in range(3)]
+    for i, p in enumerate(parts):
+        replay(p, t, batch_id=f"e{i}")
+    state = t.state_checksum(spark)
+    removed = t.expire_snapshots(keep_last=1)
+    assert t.state_checksum(spark) == state, removed
+    # after compaction the old delta snapshots become expirable
+    t.compact(spark)
+    t.expire_snapshots(keep_last=1)
+    assert t.state_checksum(spark) == state
