@@ -549,3 +549,29 @@ def test_expire_snapshots_keeps_mor_deltas_live(spark, small_events, tmp_path):
     t.compact(spark)
     t.expire_snapshots(keep_last=1)
     assert t.state_checksum(spark) == state
+
+
+def test_rollback_across_mor_compaction(spark, small_events, tmp_path):
+    """rollback_to a pre-compaction (delta-bearing) snapshot restores
+    both the state and the delta bookkeeping; committing after the
+    rollback layers correctly on the restored manifest."""
+    t = IcebergLiteTable(str(tmp_path / "rbm"), n_buckets=8, write_mode="mor")
+    parts = [small_events.filter(f"seq % 3 = {i}") for i in range(3)]
+    replay(parts[0], t, batch_id="r0")
+    replay(parts[1], t, batch_id="r1")
+    v_deltas = t.latest_manifest()["version"]
+    state_two = t.state_checksum(spark)
+    replay(parts[2], t, batch_id="r2")
+    t.compact(spark)
+    assert t.latest_manifest()["deltas"] == {}
+
+    t.rollback_to(v_deltas)
+    m = t.latest_manifest()
+    assert m["deltas"], "rollback must restore the delta map"
+    assert t.state_checksum(spark) == state_two
+    # the undone batch can re-commit and converges to the full state
+    full = IcebergLiteTable(str(tmp_path / "rbm_ref"), n_buckets=8)
+    for i, p in enumerate(parts):
+        replay(p, full, batch_id=f"f{i}")
+    assert not replay(parts[2], t, batch_id="r2")["skipped"]
+    assert t.state_checksum(spark) == full.state_checksum(spark)
