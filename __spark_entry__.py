@@ -404,7 +404,9 @@ def _q_connected_keepers(spark, sf_dir):
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    pairs = DD.minhash_candidate_pairs(doubled, k=4, bands=2)
+    # same degenerate-band guard as _q_minhash_pairs / the curation twin
+    # (VERDICT r3): ~100x above test-scale bucket sizes, oracle unaffected
+    pairs = DD.minhash_candidate_pairs(doubled, k=4, bands=2, max_bucket_size=10_000)
     return DD.keeper_assignment(doubled, pairs)
 
 
@@ -429,7 +431,12 @@ def _q_ngram_jaccard(spark, sf_dir):
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
     )
     sampled = doubled.filter(F.col("doc_id") % 5 == 0)
-    return DD.ngram_jaccard_pairs(sampled, threshold=0.05, block_col="lang")
+    # max_doc_freq guards the boilerplate-shingle posting-list blow-up at
+    # web scale (VERDICT r3); ~100x above test-scale posting sizes, so
+    # the oracle (which doesn't model the cap) is unaffected
+    return DD.ngram_jaccard_pairs(
+        sampled, threshold=0.05, block_col="lang", max_doc_freq=10_000
+    )
 
 
 def _q_text_tokens(spark, sf_dir):
@@ -619,7 +626,7 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_render_ddl(spark, sf_dir):
-    """DDL passthrough text (core/parser.go:2314-2339): op='ddl' events
+    r"""DDL passthrough text (core/parser.go:2314-2339): op='ddl' events
     with a statement column render as `USE \`db\`;\n<ddl>;`."""
     from bingo2sql_spark.functions.render import render_sql
 

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid as _uuid
 from typing import Any
@@ -609,8 +610,13 @@ class IcebergLiteTable:
         ):
             # inline compaction (after the commit point, so the batch is
             # durable either way; a crash here just leaves deltas for the
-            # next compaction to fold)
-            c = self.compact(spark)
+            # next compaction to fold). Tombstones MUST survive here:
+            # compact()'s drop is only safe once no replay older than the
+            # current head can still arrive, and the automatic path cannot
+            # know that — an out-of-order ad-hoc replay carrying an older
+            # upsert for a deleted key would otherwise resurrect it
+            # (ADVICE r3). Tombstone GC stays an explicit user call.
+            c = self.compact(spark, drop_tombstones=False)
             metrics["compacted_to"] = c.get("snapshot")
             metrics["delta_depth"] = 0
         return metrics
@@ -632,18 +638,20 @@ class IcebergLiteTable:
     # committed". Ad-hoc batch ids carry NO ordering guarantee (a user
     # may commit "b3" before "b2") and stay in the explicit list.
 
-    #: prefixes whose trailing numeric suffix is guaranteed
-    #: monotone-committed per watermark key (= id minus the suffix)
-    WATERMARK_PREFIXES = ("stream-",)
+    #: only ids emitted by streaming.pipeline.start_ingest carry the
+    #: monotone-epoch guarantee: `stream-<12-hex queryId>-<epoch>`.
+    #: The queryId segment shape is validated (ADVICE r3) so an ad-hoc
+    #: id that happens to start with "stream-" (e.g. "stream-backfill-2",
+    #: which has NO ordering guarantee) stays in the exact-set list
+    #: instead of being watermark-skipped.
+    _WATERMARK_ID = re.compile(r"(stream-[0-9a-f]{12}-)(\d+)$")
 
     @classmethod
     def _split_batch_id(cls, batch_id: str) -> tuple[str, int] | None:
-        for prefix in cls.WATERMARK_PREFIXES:
-            if batch_id.startswith(prefix):
-                head, _, tail = batch_id.rpartition("-")
-                if tail.isdigit():
-                    return (head + "-", int(tail))
-        return None
+        m = cls._WATERMARK_ID.fullmatch(batch_id)
+        if m is None:
+            return None
+        return (m.group(1), int(m.group(2)))
 
     def _already_committed(self, m: dict[str, Any], batch_id: str) -> bool:
         if batch_id in m.get("committed_batches", []):

@@ -157,9 +157,28 @@ def serve(service: ParseService, events: DataFrame, host: str = "127.0.0.1", por
         def do_POST(self):  # noqa: N802 (stdlib API)
             if self.path != "/binlog/parse":
                 return self._send(404, {"error": "not found"})
-            n = int(self.headers.get("Content-Length", 0))
-            flags = json.loads(self.rfile.read(n) or b"{}")
-            out_dir = flags.pop("out_dir")
+            # ADVICE r3: malformed bodies must yield an HTTP 400, not a
+            # dropped connection + stderr traceback; unknown flag names
+            # are rejected at submit time instead of surfacing later as a
+            # 'failed' job with a TypeError string.
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                flags = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(flags, dict):
+                    raise ValueError("body must be a JSON object")
+                out_dir = flags.pop("out_dir")
+            except KeyError:
+                return self._send(400, {"error": "missing required field 'out_dir'"})
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._send(400, {"error": f"bad request body: {e}"})
+            import inspect
+
+            allowed = set(inspect.signature(generate_sql).parameters) - {"events", "out_dir"}
+            unknown = sorted(set(flags) - allowed)
+            if unknown:
+                return self._send(
+                    400, {"error": f"unknown flags {unknown}; allowed: {sorted(allowed)}"}
+                )
             job_id = service.submit(events, out_dir, **flags)
             self._send(202, {"job_id": job_id})
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,11 +93,24 @@ def start_ingest(
         ingest query would have every micro-batch skipped as 'already
         committed' (silent data loss). Iceberg keys its epoch dedup by
         queryId the same way."""
+        meta_path = os.path.join(checkpoint_dir, "metadata")
         try:
-            with open(os.path.join(checkpoint_dir, "metadata")) as f:
-                return json.load(f)["id"].replace("-", "")[:12]
-        except Exception:
-            return "noqid"
+            with open(meta_path) as f:
+                qid = json.load(f)["id"].replace("-", "")[:12]
+        except Exception as e:
+            # FAIL LOUDLY (ADVICE r3): a silent constant fallback would make
+            # every broken-metadata query share one watermark key and
+            # reintroduce the cross-query batch-skip data-loss bug this
+            # scoping exists to prevent. Spark writes the metadata file at
+            # query start, strictly before the first foreachBatch call, so
+            # an unreadable file here is a real fault, not a race.
+            raise RuntimeError(
+                f"cannot read streaming queryId from {meta_path}; refusing to "
+                f"commit without a per-checkpoint watermark scope"
+            ) from e
+        if not re.fullmatch(r"[0-9a-f]{12}", qid):
+            raise RuntimeError(f"unexpected queryId shape in {meta_path}: {qid!r}")
+        return qid
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # LWW happens inside the table's merge groupBy (apply.py)

@@ -217,33 +217,41 @@ def expected_nonempty(table, spark):
 
 
 def test_batch_watermark_bookkeeping(spark, small_events, tmp_path):
-    """Streaming-style batch ids (`stream-<epoch>`) dedup via a bounded
-    per-prefix watermark (no unbounded committed_batches growth); ad-hoc
-    numbered ids keep exact-set semantics even committed out of order."""
+    """Only start_ingest-shaped ids (`stream-<12hex queryId>-<epoch>`)
+    dedup via a bounded per-queryId watermark (no unbounded
+    committed_batches growth); every other id — including ad-hoc ids
+    that merely start with 'stream-' — keeps exact-set semantics even
+    committed out of order (ADVICE r3)."""
     t = IcebergLiteTable(str(tmp_path / "wm"), n_buckets=8)
     half = small_events.filter("seq < 800")
-    assert not replay(half, t, batch_id="stream-0")["skipped"]
-    assert not replay(half, t, batch_id="stream-1")["skipped"]
-    assert replay(half, t, batch_id="stream-0")["skipped"]  # below watermark
-    assert replay(half, t, batch_id="stream-1")["skipped"]
+    qa, qb = "stream-aaaaaaaaaaaa-", "stream-bbbbbbbbbbbb-"
+    assert not replay(half, t, batch_id=qa + "0")["skipped"]
+    assert not replay(half, t, batch_id=qa + "1")["skipped"]
+    assert replay(half, t, batch_id=qa + "0")["skipped"]  # below watermark
+    assert replay(half, t, batch_id=qa + "1")["skipped"]
     m = t.latest_manifest()
-    assert m["batch_watermarks"] == {"stream-": 1}
+    assert m["batch_watermarks"] == {qa: 1}
     assert m["committed_batches"] == []  # nothing accumulated
-    # ad-hoc ids: out-of-order numbers must NOT be swallowed
+    # ad-hoc ids: out-of-order numbers must NOT be swallowed — including
+    # a 'stream-' prefixed id that is NOT start_ingest-shaped (no
+    # 12-hex queryId segment): it carries no ordering guarantee
     assert not replay(half, t, batch_id="b3")["skipped"]
     assert not replay(half, t, batch_id="b2")["skipped"]
     assert replay(half, t, batch_id="b3")["skipped"]
+    assert not replay(half, t, batch_id="stream-backfill-3")["skipped"]
+    assert not replay(half, t, batch_id="stream-backfill-2")["skipped"]  # out of order, still applied
+    assert replay(half, t, batch_id="stream-backfill-2")["skipped"]  # exact-set dedup
     # a DIFFERENT checkpoint lineage (fresh queryId) restarts epochs at
     # 0 and must NOT be swallowed by another lineage's watermark
     # (ADVICE r2: silent data loss otherwise)
-    assert not replay(half, t, batch_id="stream-qidA-0")["skipped"]
-    assert not replay(half, t, batch_id="stream-qidB-0")["skipped"]
-    assert replay(half, t, batch_id="stream-qidA-0")["skipped"]
-    assert replay(half, t, batch_id="stream-qidB-0")["skipped"]
+    assert not replay(half, t, batch_id=qb + "0")["skipped"]
+    assert replay(half, t, batch_id=qb + "0")["skipped"]
     wm = t.latest_manifest()["batch_watermarks"]
-    assert wm["stream-qidA-"] == 0 and wm["stream-qidB-"] == 0
+    assert wm[qa] == 1 and wm[qb] == 0
     m = t.latest_manifest()
-    assert set(m["committed_batches"]) == {"b3", "b2"}
+    assert set(m["committed_batches"]) == {
+        "b3", "b2", "stream-backfill-3", "stream-backfill-2"
+    }
 
 
 def test_time_travel_and_changelog(spark, small_events, tmp_path):
@@ -403,6 +411,39 @@ def test_mor_inline_auto_compaction(spark, small_events, tmp_path):
     assert t.state_checksum(spark) == ref.state_checksum(spark)
     # the auto-compaction snapshot does not break exactly-once
     assert replay(parts[2], t, batch_id="a2")["skipped"]
+
+
+def test_mor_auto_compaction_preserves_tombstones(spark, small_events, tmp_path):
+    """ADVICE r3 (high): INLINE auto-compaction must NOT drop tombstone
+    rows. Out-of-order ad-hoc replay is supported (commit b3 before b2),
+    so a tombstone dropped by the automatic path would let a LATER commit
+    of an OLDER batch resurrect a deleted key — the delete marker that
+    wins LWW is gone. state_checksum ignores tombstones, so this test
+    checks the final state against an in-order reference replay instead.
+    """
+    t = IcebergLiteTable(
+        str(tmp_path / "tp"), n_buckets=8, write_mode="mor", max_delta_depth=1
+    )
+    late = small_events.filter("seq >= 800")  # contains final DELETEs
+    early = small_events.filter("seq < 800")  # older upserts for those keys
+    ms = [
+        replay(late.filter(f"seq % 3 = {i}"), t, batch_id=f"late{i}")
+        for i in range(3)
+    ]
+    assert any(m.get("compacted_to") for m in ms)  # inline compaction fired
+    # tombstones physically survived the automatic compaction
+    raw = t._read_raw(spark)
+    assert raw.filter("_deleted").count() > 0
+    # the older batch arrives AFTER compaction; deleted keys must not rise
+    replay(early, t, batch_id="early")
+    ref = IcebergLiteTable(str(tmp_path / "tp_ref"), n_buckets=8)
+    replay(small_events, ref, batch_id="all")
+    assert t.read(spark).count() == ref.read(spark).count()
+    assert t.state_checksum(spark) == ref.state_checksum(spark)
+    # explicit user-invoked GC still drops tombstones when asked
+    t.compact(spark, drop_tombstones=True)
+    assert t._read_raw(spark).filter("_deleted").count() == 0
+    assert t.state_checksum(spark) == ref.state_checksum(spark)
 
 
 def test_changelog_bucket_pruning_and_payload_only(spark, small_events, tmp_path):
