@@ -42,14 +42,15 @@ PREP = r"""
 import sys
 sys.path.insert(0, {repo!r})
 from bingo2sql_spark.session import get_spark
-from bingo2sql_spark.sources.synth import generate_events, to_raw
+from bingo2sql_spark.sources.synth import generate_events, to_raw, to_raw_typed
 
-out, n_events = sys.argv[1], int(sys.argv[2])
+out, n_events, wire = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 spark = get_spark("scaling-prep")
 n_keys = max(1000, n_events // 8)
 ev = generate_events(spark, n_keys=n_keys, versions_per_key=8,
                      n_repos=max(50, n_keys // 200))
-to_raw(ev).write.mode("overwrite").parquet(out)
+land = to_raw_typed if wire == "typed" else to_raw
+land(ev).write.mode("overwrite").parquet(out)
 print("PREP_DONE")
 """
 
@@ -57,31 +58,32 @@ CHILD = r"""
 import json, os, sys, tempfile, time, shutil
 sys.path.insert(0, {repo!r})
 from bingo2sql_spark.session import get_spark
-from bingo2sql_spark.sources.decode import decode_events
+from bingo2sql_spark.sources.decode import decode_events, decode_events_typed
 from bingo2sql_spark.operators.apply import IcebergLiteTable
 from bingo2sql_spark.pipeline import replay
 
-cores, raw_dir, n_events = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+cores, raw_dir, n_events, wire = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4]
 tmp = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores,
                   extra_conf={{"spark.local.dir": tmp + "/spark-local"}})
 raw = spark.read.parquet(raw_dir)
 KEYS = ["repo", "path"]  # forward replay: narrow before-image decode
+decode = decode_events_typed if wire == "typed" else decode_events
 warm = IcebergLiteTable(tmp + "/warm", n_buckets=8)
-replay(decode_events(raw.filter("seq % 50 = 0"), before_fields=KEYS), warm, batch_id="w", tables=["repo_files"])
+replay(decode(raw.filter("seq % 50 = 0"), before_fields=KEYS), warm, batch_id="w", tables=["repo_files"])
 t = IcebergLiteTable(tmp + "/tgt", n_buckets=64)
 t0 = time.time()
-replay(decode_events(raw, before_fields=KEYS), t, batch_id="b", tables=["repo_files"])
+replay(decode(raw, before_fields=KEYS), t, batch_id="b", tables=["repo_files"])
 secs = time.time() - t0
 print(json.dumps({{"cores": cores, "secs": round(secs, 3)}}))
 shutil.rmtree(tmp, ignore_errors=True)
 """
 
 
-def run_one(cores: int, raw_dir: str, n_events: int) -> float:
+def run_one(cores: int, raw_dir: str, n_events: int, wire: str) -> float:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
-         CHILD.format(repo=REPO), str(cores), raw_dir, str(n_events)],
+         CHILD.format(repo=REPO), str(cores), raw_dir, str(n_events), wire],
         capture_output=True, text=True, timeout=1200,
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -95,6 +97,9 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=3_200_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n", type=int, default=8, help="small cluster size N (4N is the big one)")
+    ap.add_argument("--wire", choices=("typed", "json"), default="typed",
+                    help="raw landing format: typed structs (headline; decode is "
+                         "a projection) or JSON text (connector fallback)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
@@ -103,7 +108,8 @@ def main() -> None:
     raw_dir = os.path.join(work, "raw")
     try:
         prep = subprocess.run(
-            [sys.executable, "-c", PREP.format(repo=REPO), raw_dir, str(args.events)],
+            [sys.executable, "-c", PREP.format(repo=REPO), raw_dir, str(args.events),
+             args.wire],
             capture_output=True, text=True, timeout=1200,
         )
         if "PREP_DONE" not in prep.stdout:
@@ -111,7 +117,9 @@ def main() -> None:
 
         results = {}
         for cores in (args.n, args.n * 4):
-            times = sorted(run_one(cores, raw_dir, args.events) for _ in range(args.runs))
+            times = sorted(
+                run_one(cores, raw_dir, args.events, args.wire) for _ in range(args.runs)
+            )
             best = times[0]
             results[cores] = {
                 "cores": cores,
@@ -131,14 +139,14 @@ def main() -> None:
 
 North rule criterion: CDC replay throughput scaling efficiency >= 0.8
 between N and 4N executors. Sandbox protocol (no real cluster): the
-IDENTICAL job — raw wire events (JSON row images) -> decode -> filters
--> per-key LWW -> Iceberg-lite MERGE commit — on the same tmpfs input,
+IDENTICAL job — raw wire events ({args.wire} row images) -> decode ->
+filters -> per-key LWW -> Iceberg-lite MERGE commit — on the same tmpfs input,
 one timed run per FRESH JVM pinned with taskset to local[8] vs
 local[32] core budgets, best of {args.runs} JVMs per level (see
 run_scaling.py header for why pinning + fresh JVMs + tmpfs + minimum
 are required for a clean signal on this shared hypervisor).
 
-Generated {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} by `python BENCH/run_scaling.py --events {args.events} --runs {args.runs}`.
+Generated {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} by `python BENCH/run_scaling.py --events {args.events} --runs {args.runs} --wire {args.wire}`.
 
 | parallelism | events | best wall (s) | events/sec |
 |---|---|---|---|

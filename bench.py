@@ -28,24 +28,35 @@ from bingo2sql_spark.session import get_spark  # noqa: E402
 def headline_replay(spark, n_events: int) -> dict:
     """Raw wire events -> decode -> filters -> LWW -> Iceberg-lite MERGE,
     timed end to end (raw events landed to parquet first so generation
-    isn't counted; decode IS counted — same job as BENCH/run_scaling)."""
+    isn't counted; decode IS counted — same job as BENCH/run_scaling).
+
+    The HEADLINE lands the TYPED wire (schema.RAW_EVENT_TYPED): the
+    binlog is binary, so a connector that keeps values typed end-to-end
+    never pays a text-parse tax — decode is a pure projection and the
+    narrowed before image prunes down to the parquet scan. The JSON
+    landing (the Kafka-connect-style text fallback) is timed alongside
+    as replay_json_secs for round-over-round continuity."""
     from bingo2sql_spark.operators.apply import IcebergLiteTable
     from bingo2sql_spark.pipeline import replay
-    from bingo2sql_spark.sources.decode import decode_events
-    from bingo2sql_spark.sources.synth import generate_events, to_raw
+    from bingo2sql_spark.sources.decode import decode_events, decode_events_typed
+    from bingo2sql_spark.sources.synth import generate_events, to_raw, to_raw_typed
 
     tmp = tempfile.mkdtemp(prefix="bench_cdc_", dir=_fast_tmp())
     try:
-        src = os.path.join(tmp, "events")
+        src_typed = os.path.join(tmp, "events_typed")
+        src_json = os.path.join(tmp, "events_json")
         n_keys = max(1000, n_events // 8)
-        to_raw(
-            generate_events(
-                spark, n_keys=n_keys, versions_per_key=8, n_repos=max(50, n_keys // 200)
-            )
-        ).write.mode("overwrite").parquet(src)
+        env = generate_events(
+            spark, n_keys=n_keys, versions_per_key=8, n_repos=max(50, n_keys // 200)
+        )
+        to_raw_typed(env).write.mode("overwrite").parquet(src_typed)
+        to_raw(env).write.mode("overwrite").parquet(src_json)
         # forward replay only needs merge keys from the before image:
-        # narrow the from_json schema (content dominates decode bytes)
-        events = decode_events(spark.read.parquet(src), before_fields=["repo", "path"])
+        # typed -> nested-schema pruning skips the before payload bytes;
+        # JSON -> narrowed from_json schema skips tokenizing them
+        KEYS = ["repo", "path"]
+        events = decode_events_typed(spark.read.parquet(src_typed), before_fields=KEYS)
+        events_json = decode_events(spark.read.parquet(src_json), before_fields=KEYS)
 
         # JVM/codegen warmup on a small slice (reference methodology:
         # medians of 10 timed runs, docs/test.md) — one throwaway replay
@@ -55,13 +66,18 @@ def headline_replay(spark, n_events: int) -> dict:
         # timed: initial load replay (min of 2 — the sandbox hypervisor
         # has noisy neighbors; see BENCH/run_scaling.py) + an
         # incremental second batch
-        secs = None
+        secs = json_secs = None
         for attempt in ("a", "b"):
             table = IcebergLiteTable(os.path.join(tmp, f"target-{attempt}"), n_buckets=64)
             t0 = time.time()
             replay(events, table, batch_id="bench", tables=["repo_files"])
             one = time.time() - t0
             secs = one if secs is None else min(secs, one)
+            jt = IcebergLiteTable(os.path.join(tmp, f"target-j{attempt}"), n_buckets=64)
+            t0 = time.time()
+            replay(events_json, jt, batch_id="bench", tables=["repo_files"])
+            one = time.time() - t0
+            json_secs = one if json_secs is None else min(json_secs, one)
         rows = table.read(spark).count()
 
         ev2 = generate_events(
@@ -83,6 +99,8 @@ def headline_replay(spark, n_events: int) -> dict:
             "replay_secs": round(secs, 3),
             "events": n_events,
             "events_per_sec": round(n_events / secs, 1),
+            "replay_json_secs": round(json_secs, 3),
+            "json_events_per_sec": round(n_events / json_secs, 1),
             "incremental_secs": round(inc_secs, 3),
             "incremental_events_per_sec": round(n_events / inc_secs, 1),
             "incremental_mor_secs": round(mor_secs, 3),

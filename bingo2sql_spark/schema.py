@@ -142,6 +142,18 @@ RAW_EVENT = T.StructType(
 )
 
 
+#: Typed raw wire schema: identical to RAW_EVENT except the row images
+#: are typed structs of the LATEST registry version (absent fields NULL)
+#: instead of JSON strings — what a Debezium-style connector with a
+#: schema registry lands when it keeps binlog values typed end-to-end.
+#: Decoding this shape is a pure projection (decode_events_typed); the
+#: JSON shape stays as the text-landing fallback. The binlog itself is
+#: binary (core/parseFile.go:16-179) — a text round-trip is engine
+#: overhead the reference never pays, so this is the recommended landing
+#: format at scale.
+RAW_EVENT_TYPED = ENVELOPE
+
+
 # ---------------------------------------------------------------------------
 # Column metadata registry (reference Column struct core/parser.go:36-65)
 # ---------------------------------------------------------------------------

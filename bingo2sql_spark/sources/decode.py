@@ -89,6 +89,72 @@ def decode_events(
     )
 
 
+def decode_events_typed(
+    raw: DataFrame,
+    schema_ver: int = S.LATEST_SCHEMA_VER,
+    before_fields: list[str] | None = None,
+) -> DataFrame:
+    """Typed-wire decode: a pure PROJECTION, no parse at all.
+
+    For tailers that land row images as typed parquet structs
+    (schema.RAW_EVENT_TYPED — the Debezium-with-schema-registry landing
+    shape) instead of JSON text. The binlog itself is binary — the
+    reference never pays a text-parse tax (core/parseFile.go:16-179) —
+    so a connector that keeps values typed all the way down makes this
+    engine's decode stage free: `decode_events_typed` only aligns the
+    wire structs to the requested registry version (missing field ->
+    typed NULL, extra field -> projected away) with Column expressions
+    that stay inside whole-stage codegen. decode_events (JSON) remains
+    the fallback for text-landing connectors.
+
+    Scale note: with `before_fields` narrowed to the merge keys, the
+    projection composes with Spark's nested-schema pruning, so the
+    parquet scan reads ONLY before.repo/before.path — the payload bytes
+    of the before image (content dominates) are never read off disk.
+    """
+    payload = S.payload_schema(schema_ver)
+    before_schema = payload
+    if before_fields is not None:
+        from pyspark.sql import types as T
+
+        want = set(before_fields)
+        before_schema = T.StructType([f for f in payload.fields if f.name in want])
+
+    def align(colname: str, schema) -> F.Column:
+        src = raw.schema[colname].dataType
+        have = {f.name for f in src.fields}
+        if [f.name for f in src.fields] == [f.name for f in schema.fields]:
+            return F.col(colname)  # exact wire/registry match: pass-through
+        inner = F.struct(
+            *[
+                (
+                    F.col(f"{colname}.{f.name}")
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        # Rebuilding a struct from a NULL struct's fields yields a
+        # struct of NULLs, not NULL — preserve image NULL-ness (insert
+        # has no before, delete no after). The presence probe reads a
+        # FIELD, not the struct root: `isnotnull(before)` would force
+        # the scan to materialize every nested column, defeating
+        # nested-schema pruning; probing the first merge key (non-null
+        # in every present image by the wire contract — it is the row
+        # identity) keeps the ReadSchema at exactly the projected fields.
+        probe = S.MERGE_KEYS[0]
+        return F.when(F.col(f"{colname}.{probe}").isNotNull(), inner)
+
+    return raw.select(
+        *_HEADER,
+        align("before", before_schema).alias("before"),
+        align("after", payload).alias("after"),
+        "changed_cols",
+        "schema_ver",
+    )
+
+
 def unsigned_fixup(s: pd.Series, bits: int) -> pd.Series:
     """T7 — two's-complement reinterpretation for unsigned columns that
     a signed decoder mangled (processValue core/parser.go:1322-1360:

@@ -287,6 +287,16 @@ def _interleave_ddl(
     return dml.unionByName(ddl)
 
 
+def to_raw_typed(events: DataFrame) -> DataFrame:
+    """Serialize envelope rows to the TYPED wire schema
+    (schema.RAW_EVENT_TYPED): row images stay typed structs, as a
+    connector with a schema registry lands them (Debezium + Avro/parquet
+    sink). Decode of this shape is a pure projection
+    (decode.decode_events_typed) — no parse tax. Column order pinned to
+    the wire schema so parquet footers are stable across producers."""
+    return events.select(*[f.name for f in S.ENVELOPE.fields])
+
+
 def to_raw(events: DataFrame) -> DataFrame:
     """Serialize envelope rows to the raw wire schema (schema.RAW_EVENT):
     row images as JSON strings, as a binlog tailer would land them before

@@ -189,6 +189,33 @@ def test_filters_push_below_decode(spark, small_events, tmp_path):
     assert "Filter" in plan.split("from_json")[-1]
 
 
+def test_typed_decode_prunes_nested_before_image(spark, small_events, tmp_path):
+    """Typed-wire decode with the before image narrowed to the merge
+    keys must compose with nested-schema pruning: the parquet ReadSchema
+    carries only before.repo/before.path — the before-image payload
+    bytes (content dominates) are never read off disk. This is the
+    scale payoff of the typed landing (VERDICT r3 #1): decode is not
+    just parse-free, it also shrinks the scan."""
+    from bingo2sql_spark.sources.decode import decode_events_typed
+    from bingo2sql_spark.sources.synth import to_raw_typed
+
+    p = str(tmp_path / "typed_raw")
+    to_raw_typed(small_events).write.parquet(p)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        q = decode_events_typed(
+            spark.read.parquet(p), before_fields=["repo", "path"]
+        )
+        plan = _plan(q)
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "from_json" not in plan  # pure projection
+    read = plan.split("ReadSchema: ")[-1]
+    before_seg = read.split("before:struct<")[1].split(">")[0]
+    assert "repo" in before_seg and "path" in before_seg
+    assert "content" not in before_seg, before_seg
+
+
 def test_decorate_window_is_partitioned(spark, small_events):
     """S6 decoration must not funnel the data path through a single
     partition: the lag window hash-partitions on the seq block; only the

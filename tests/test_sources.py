@@ -72,6 +72,77 @@ def test_stream_raw_jsonl_decode_in_stream(spark, small_events, tmp_path):
     assert table.state_checksum(spark) == ref.state_checksum(spark)
 
 
+def _df_equal(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_typed_wire_decode_equals_json_decode(spark, small_events):
+    """Differential: decode_events_typed(to_raw_typed(ev)) must be
+    row-identical to decode_events(to_raw(ev)) — full decode, narrowed
+    before image, and downgraded registry version (VERDICT r3 #1: the
+    typed landing makes decode a pure projection; this pins that it is
+    the SAME decode)."""
+    from bingo2sql_spark.sources.decode import decode_events_typed
+    from bingo2sql_spark.sources.synth import to_raw_typed
+
+    raw_j, raw_t = to_raw(small_events), to_raw_typed(small_events)
+    assert _df_equal(decode_events_typed(raw_t), decode_events(raw_j))
+    assert _df_equal(
+        decode_events_typed(raw_t, before_fields=["repo", "path"]),
+        decode_events(raw_j, before_fields=["repo", "path"]),
+    )
+    # target version BELOW the wire version: extra field projected away
+    assert _df_equal(
+        decode_events_typed(raw_t, schema_ver=1),
+        decode_events(raw_j, schema_ver=1),
+    )
+    # and the typed plan contains no JSON parse at all
+    plan = decode_events_typed(raw_t)._jdf.queryExecution().executedPlan().toString()
+    assert "from_json" not in plan
+
+
+def test_typed_wire_decode_aligns_old_wire_schema(spark, small_events):
+    """A typed wire written by an OLDER connector (v1 structs, no
+    `branch`) decodes at the latest version with NULL-fill, exactly like
+    the JSON path NULL-fills missing keys; image NULL-ness (insert has
+    no before, delete no after) survives the struct rebuild."""
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark.sources.decode import decode_events_typed
+    from bingo2sql_spark.sources.synth import to_raw_typed
+
+    v1_wire = to_raw_typed(small_events).withColumn(
+        "before", F.col("before").dropFields("branch")
+    ).withColumn("after", F.col("after").dropFields("branch"))
+    out = decode_events_typed(v1_wire)  # latest = v2
+    assert [f.name for f in out.schema["after"].dataType.fields][-1] == "branch"
+    assert out.filter("after.branch is not null").count() == 0
+    # NULL images preserved (not melted into structs of NULLs)
+    ins = small_events.filter("op = 'insert'").count()
+    assert out.filter("op = 'insert' and before is null").count() == ins
+    dels = small_events.filter("op = 'delete'").count()
+    assert out.filter("op = 'delete' and after is null").count() == dels
+
+
+def test_typed_wire_replay_equals_json_replay(spark, small_events, tmp_path):
+    """End-to-end: landing typed parquet and replaying reaches the same
+    table state as the JSON landing (the two wire formats are
+    interchangeable upstream of the engine)."""
+    from bingo2sql_spark.sources.decode import decode_events_typed
+    from bingo2sql_spark.sources.synth import to_raw_typed
+
+    p = str(tmp_path / "typed_wire")
+    to_raw_typed(small_events).write.parquet(p)
+    typed = decode_events_typed(
+        spark.read.parquet(p), before_fields=["repo", "path"]
+    )
+    t1 = IcebergLiteTable(str(tmp_path / "t_typed"), n_buckets=8)
+    replay(typed, t1, batch_id="t")
+    t2 = IcebergLiteTable(str(tmp_path / "t_json"), n_buckets=8)
+    replay(decode_events(to_raw(small_events)), t2, batch_id="j")
+    assert t1.state_checksum(spark) == t2.state_checksum(spark)
+
+
 def test_deterministic_sampling_properties(spark):
     """Sampling decisions depend only on (salt, key): stable under
     repartitioning, append-stable, and fraction-accurate."""
