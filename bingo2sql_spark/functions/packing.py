@@ -32,23 +32,36 @@ def pack_sequences(
     tokens_col: str = "n_tokens",
     group_docs: int = 10_000,
     salt: str = "pack",
+    group_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, group, bin_id, bin_tokens): every doc assigned
     to exactly one bin; sum(tokens) per bin <= budget except singleton
-    oversized docs. bin_id is globally unique (group * 2^32 + local)."""
+    oversized docs. bin_id is globally unique (group * 2^32 + local).
+
+    `group_col` pins the packing group to a caller-provided column
+    (must be bounded-size per group) instead of the count-derived hash
+    split — also skips the count() pre-pass, so the plan is a single
+    shuffle on the group key with no extra source scan."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    src = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(tokens_col).cast("long").alias("n_tokens"),
-    )
-    # deterministic group of bounded EXPECTED size: hash-space split by
-    # a count-derived number of groups (one tiny pre-pass)
-    total = src.count()
-    groups = max(1, total // max(1, group_docs))
-    src = src.withColumn(
-        "group", F.pmod(F.xxhash64(F.lit(salt), F.col("doc_id")), F.lit(groups))
-    )
+    if group_col is not None:
+        src = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            F.col(group_col).cast("long").alias("group"),
+        )
+    else:
+        src = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+        # deterministic group of bounded EXPECTED size: hash-space split by
+        # a count-derived number of groups (one tiny pre-pass)
+        total = src.count()
+        groups = max(1, total // max(1, group_docs))
+        src = src.withColumn(
+            "group", F.pmod(F.xxhash64(F.lit(salt), F.col("doc_id")), F.lit(groups))
+        )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])

@@ -88,6 +88,7 @@ def _merge_batch(
     all_cols: list[str],
     partial: bool,
     n_out: int,
+    emit_changed: bool = False,
 ) -> DataFrame:
     """The MERGE: per-key LWW by source seq over stored ∪ batch rows
     (collapses multiple events per key within the batch too). Tombstones
@@ -102,40 +103,76 @@ def _merge_batch(
     pbucket-partitioned write wants (one contiguous writer per bucket,
     no tasks x buckets file blow-up)."""
     both = current.unionByName(batch_rows).repartition(n_out, "bucket")
+    return _per_key_winners(both, all_cols, partial, emit_changed)
+
+
+def _per_key_winners(
+    df: DataFrame,
+    all_cols: list[str],
+    partial: bool,
+    emit_changed: bool = False,
+) -> DataFrame:
+    """Collapse rows to per-(bucket, key) LWW winners — shared by the
+    commit MERGE and the MOR read-time reconciliation.
+
+    partial=False: row-level max_by over _ingest_seq.
+
+    partial=True — the MINIMAL row-image path: per-COLUMN
+    last-present-writer. Stored/full rows act as full-image
+    pseudo-events (`_changed_cols` NULL); an update contributes only
+    its changed columns; insert images are complete, so pre-delete
+    values can never leak (see resolve.to_upsert_rows_partial).
+
+    emit_changed carries the merged presence metadata forward: NULL if
+    any non-delete contributor was a full image, else the sorted union
+    of the contributors' changed sets. Required when the output is
+    stored as a MOR delta — the delta row is itself re-merged at read
+    time and must still say which columns it actually carries."""
     data_cols = [c for c in all_cols if c not in S.MERGE_KEYS]
     if not partial:
         winner = F.max_by(
             F.struct(*data_cols, *INTERNAL_NO_BUCKET), F.col("_ingest_seq")
         ).alias("_w")
-        merged = (
-            both.groupBy("bucket", *S.MERGE_KEYS)
+        return (
+            df.groupBy("bucket", *S.MERGE_KEYS)
             .agg(winner)
             .select(*S.MERGE_KEYS, "_w.*", "bucket")
+            .select(*all_cols, *INTERNAL_COLS)
         )
-    else:
-        # MINIMAL row-image path: per-COLUMN last-present-writer.
-        # Stored rows act as full-image pseudo-events; an update
-        # contributes only its changed columns; insert images are
-        # complete, so pre-delete values can never leak (see
-        # resolve.to_upsert_rows_partial docstring).
-        seq = F.col("_ingest_seq")
-        aggs = [F.max_by(F.struct(*INTERNAL_NO_BUCKET), seq).alias("_w")]
-        for c in data_cols:
-            present = ~F.col("_deleted") & (
-                F.col("_changed_cols").isNull()
-                | F.array_contains(F.col("_changed_cols"), c)
-            )
-            aggs.append(
-                F.max(F.when(present, F.struct(seq.alias("s"), F.col(c).alias("v"))))[
-                    "v"
-                ].alias(c)
-            )
-        merged = (
-            both.groupBy("bucket", *S.MERGE_KEYS)
-            .agg(*aggs)
-            .select(*S.MERGE_KEYS, *data_cols, "_w.*", "bucket")
+    seq = F.col("_ingest_seq")
+    aggs = [F.max_by(F.struct(*INTERNAL_NO_BUCKET), seq).alias("_w")]
+    for c in data_cols:
+        present = ~F.col("_deleted") & (
+            F.col("_changed_cols").isNull()
+            | F.array_contains(F.col("_changed_cols"), c)
         )
-    return merged.select(*all_cols, *INTERNAL_COLS)
+        aggs.append(
+            F.max(F.when(present, F.struct(seq.alias("s"), F.col(c).alias("v"))))[
+                "v"
+            ].alias(c)
+        )
+    extra = []
+    if emit_changed:
+        any_full = F.max(
+            F.when(~F.col("_deleted") & F.col("_changed_cols").isNull(), 1)
+        )
+        union_changed = F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.when(~F.col("_deleted"), F.col("_changed_cols"))))
+            )
+        )
+        aggs.append(
+            F.when(any_full == 1, F.lit(None).cast("array<string>"))
+            .otherwise(union_changed)
+            .alias("_changed_cols")
+        )
+        extra = ["_changed_cols"]
+    return (
+        df.groupBy("bucket", *S.MERGE_KEYS)
+        .agg(*aggs)
+        .select(*S.MERGE_KEYS, *data_cols, "_w.*", "bucket", *extra)
+        .select(*all_cols, *INTERNAL_COLS, *extra)
+    )
 
 
 def bucket_col(n_buckets: int):
@@ -235,7 +272,7 @@ class IcebergLiteTable:
     # -- read path -------------------------------------------------------------
 
     @staticmethod
-    def _state_schema(columns: list[str]) -> T.StructType:
+    def _state_schema(columns: list[str], with_changed: bool = False) -> T.StructType:
         fields = [T.StructField(c, T.StringType(), True) for c in columns]
         fields += [
             T.StructField("_ingest_seq", T.LongType(), True),
@@ -244,6 +281,13 @@ class IcebergLiteTable:
             T.StructField("_log_pos", T.LongType(), True),
             T.StructField("bucket", T.IntegerType(), True),
         ]
+        if with_changed:
+            # MOR deltas from MINIMAL batches carry presence metadata;
+            # files without the column (bases, full-image deltas)
+            # NULL-fill = full image
+            fields.append(
+                T.StructField("_changed_cols", T.ArrayType(T.StringType()), True)
+            )
         return T.StructType(fields)
 
     def _empty_state(self, spark: SparkSession, columns: list[str]) -> DataFrame:
@@ -305,19 +349,21 @@ class IcebergLiteTable:
         # declared schema the reader NULL-fills missing columns per file
         # (no mergeSchema footer sweep needed — the manifest already knows
         # the union).
-        df = spark.read.schema(self._state_schema(cols)).parquet(*paths)
-        df = df.select(*cols, *INTERNAL_COLS)
-        if has_deltas:
-            data_cols = [c for c in cols if c not in S.MERGE_KEYS]
-            winner = F.max_by(
-                F.struct(*data_cols, *INTERNAL_NO_BUCKET), F.col("_ingest_seq")
-            ).alias("_w")
-            df = (
-                df.groupBy("bucket", *S.MERGE_KEYS)
-                .agg(winner)
-                .select(*S.MERGE_KEYS, "_w.*", "bucket")
-                .select(*cols, *INTERNAL_COLS)
-            )
+        partial_deltas = has_deltas and bool(m.get("partial_deltas"))
+        df = spark.read.schema(
+            self._state_schema(cols, with_changed=partial_deltas)
+        ).parquet(*paths)
+        if partial_deltas:
+            # MINIMAL-image deltas: per-COLUMN read-time merge — delta
+            # rows carry only their changed columns (`_changed_cols`);
+            # base rows NULL-fill the column = full image
+            df = df.select(*cols, *INTERNAL_COLS, "_changed_cols")
+            df = _per_key_winners(df, cols, partial=True)
+        elif has_deltas:
+            df = df.select(*cols, *INTERNAL_COLS)
+            df = _per_key_winners(df, cols, partial=False)
+        else:
+            df = df.select(*cols, *INTERNAL_COLS)
         return df
 
     def read(
@@ -408,7 +454,9 @@ class IcebergLiteTable:
 
     # -- write path --------------------------------------------------------------
 
-    def commit(self, batch: DataFrame, batch_id: str) -> dict[str, Any]:
+    def commit(
+        self, batch: DataFrame, batch_id: str, rebase_past_head: bool = False
+    ) -> dict[str, Any]:
         """Idempotent, convergent MERGE of one micro-batch.
 
         `batch` is upsert rows (resolve.to_upsert_rows): payload columns,
@@ -473,13 +521,10 @@ class IcebergLiteTable:
         )
         partial = "_changed_cols" in batch.columns
         mor = self.write_mode == "mor"
-        if mor and partial:
-            raise NotImplementedError(
-                "write_mode='mor' with MINIMAL row images is not supported: a "
-                "delta row carrying only changed columns would need a per-COLUMN "
-                "read-time merge; use row_image='FULL' for MOR streams or a "
-                "'cow' table for MINIMAL ones"
-            )
+        # mor+partial is supported: the delta stores per-key winners WITH
+        # their merged `_changed_cols` presence metadata, and _read_raw
+        # switches to the per-column read-time merge for every consumer
+        # (the manifest's partial_deltas flag gates it).
         # MOR never reads the table on commit, so the pruning pre-pass
         # (whose only job is picking which stored buckets to read) would
         # be a pure extra pass over the batch — Observation counts ride
@@ -487,15 +532,19 @@ class IcebergLiteTable:
         do_prune = bool(m["buckets"]) and not mor
         batch_counts: dict[str, int] | None = None
         observation = None
+        min_seq: int | None = None
         if do_prune:
             # narrow pre-pass (no payload columns; from_json sources prune
             # to just the key fields): affected buckets + exact counts
+            # (+ the batch's min seq, which the flashback rebase needs —
+            # riding this job instead of a separate scan, VERDICT r3 #4)
             stats = (
                 b.select("bucket", "_ingest_seq", "_deleted")
                 .groupBy("bucket")
                 .agg(
                     F.sum(F.col("_deleted").cast("int")).alias("deletes"),
                     F.count("*").alias("rows"),
+                    F.min("_ingest_seq").alias("min_seq"),
                 )
                 .collect()
             )
@@ -504,6 +553,8 @@ class IcebergLiteTable:
                 "rows": int(sum(r["rows"] for r in stats)),
                 "deletes": int(sum(r["deletes"] for r in stats)),
             }
+            if stats:
+                min_seq = min(int(r["min_seq"]) for r in stats)
         else:
             affected = list(range(self.n_buckets))  # empty table: nothing to prune
             from pyspark.sql import Observation
@@ -514,6 +565,20 @@ class IcebergLiteTable:
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.col("_deleted").cast("int")).alias("deletes"),
             )
+            if rebase_past_head:
+                # no pre-pass to ride (empty table / MOR delta append):
+                # one narrow single-column aggregate — same cost as the
+                # old pipeline-level pre-pass, only on these paths
+                row = b.agg(F.min("_ingest_seq")).collect()[0]
+                min_seq = None if row[0] is None else int(row[0])
+        if rebase_past_head and min_seq is not None:
+            # flashback batches arrive order-inverted (seq' = -seq); the
+            # rollback becomes NEW log traffic past the head: shift by
+            # head - min(seq') + 1 == head + max(orig seq) + 1, so the
+            # inverted events stay reverse-ordered among themselves and
+            # supersede everything already absorbed under LWW-by-seq.
+            offset = self.head_seq() - min_seq + 1
+            b = b.withColumn("_ingest_seq", F.col("_ingest_seq") + F.lit(offset))
         new_version = m["version"] + 1
 
         if affected:
@@ -555,7 +620,10 @@ class IcebergLiteTable:
             # time; smaller tasks let dynamic scheduling balance it.
             par = batch.sparkSession.sparkContext.defaultParallelism
             n_out = max(1, min(len(affected), 4 * par))
-            merged = _merge_batch(current, batch_rows, all_cols, partial, n_out)
+            merged = _merge_batch(
+                current, batch_rows, all_cols, partial, n_out,
+                emit_changed=mor and partial,
+            )
             merged = merged.withColumn("pbucket", F.col("bucket"))
             snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
             merged.write.mode("overwrite").partitionBy("pbucket").parquet(snap_dir)
@@ -601,6 +669,10 @@ class IcebergLiteTable:
                 "columns": all_cols,
                 "lineage": lineage,
                 "metrics": metrics,
+                # sticky until a compaction folds the partial deltas:
+                # gates the per-column read-time merge in _read_raw
+                "partial_deltas": bool(m.get("partial_deltas"))
+                or (mor and partial),
             }
         )
         if (
@@ -730,6 +802,8 @@ class IcebergLiteTable:
                 "buckets": buckets_map,
                 "deltas": {},
                 "metrics": metrics,
+                # folded rows are complete images again
+                "partial_deltas": False,
             }
         )
         return {"skipped": False, "snapshot": new_version}

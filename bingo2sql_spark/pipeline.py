@@ -46,9 +46,14 @@ def replay(
             "as the reference requires for flashback)"
         )
     if flashback:
-        # rollback becomes NEW log traffic past the head (see flashback.py)
-        batch_max = ev.agg(F.max("seq")).collect()[0][0] or 0
-        ev = FB.invert(ev, rebase_offset=table.head_seq() + batch_max + 1)
+        # rollback becomes NEW log traffic past the head (see
+        # flashback.py). The rebase is DEFERRED into the commit
+        # (rebase_past_head): invert only reverses order (seq' = -seq)
+        # and commit shifts by head - min(seq') + 1 == head + max(seq)
+        # + 1, with min(seq') riding the commit's existing pruning
+        # pre-pass — no extra scan of the source per flashback batch
+        # (VERDICT r3 #4).
+        ev = FB.invert(ev)
     ev = R.with_key(ev)
     if repartition:
         ev = R.salted_repartition(ev, repartition)
@@ -58,4 +63,4 @@ def replay(
         batch = R.to_upsert_rows_partial(ev, schema_ver=schema_ver)
     else:
         batch = R.to_upsert_rows(ev, schema_ver=schema_ver)
-    return table.commit(batch, batch_id)
+    return table.commit(batch, batch_id, rebase_past_head=flashback)

@@ -58,6 +58,11 @@ def start_ingest(
     *,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    processing_time: str | None = None,
+    stop_idle_secs: float | None = None,
+    stop_max_rows: int | None = None,
+    stop_on_gtid_exhaustion: bool = False,
+    stop_poll_secs: float = 0.5,
     schema_ver: int = S.LATEST_SCHEMA_VER,
     row_image: str = "FULL",
     source_format: str = "envelope_parquet",
@@ -65,7 +70,34 @@ def start_ingest(
 ) -> StreamingQuery:
     """Launch the ingest query. availableNow=True drains the current
     backlog then stops (the reference's stop-at-master-status,
-    core/parser.go:552-563); False tails continuously (--stop-never).
+    core/parser.go:552-563); False tails continuously (--stop-never),
+    optionally at a `processing_time` trigger cadence.
+
+    A CONTINUOUS tail can self-stop like the reference's live loop
+    (core/parser.go:2262-2293, 434-437) — a batch predicate is not the
+    same thing as stopping a running query, so a monitor thread watches
+    gate values published by each micro-batch and calls stop() when:
+
+    - stop-time passage: an event STRICTLY past `stop_time` has been
+      read (ts is weakly monotone in log order, so everything inside
+      the window is already committed; the filter itself still gates
+      rows). Measured on the PRE-filter batch — the qualifying event
+      never survives the filter.
+    - `stop_on_gtid_exhaustion`: every requested `gtids` interval has
+      been fully absorbed (per-uuid max observed gno >= interval stop;
+      gno is monotone per uuid in a binlog).
+    - `stop_max_rows`: cumulative committed change rows reached the cap
+      (batch granularity: the final batch may overshoot, exactly like
+      the reference which stops after the row that crosses the line).
+    - `stop_idle_secs`: no new micro-batch for that long after the
+      first one (the reference's 10 s-idle exit).
+
+    The gates ride one narrow (header-columns-only) aggregate per
+    micro-batch inside foreachBatch — `observe()` metrics do not
+    surface through a foreachBatch sink, and the filtered stream must
+    not hide boundary passage. The stop reason is appended to the
+    table's metrics JSONL as {"stop_reason": ...}. Conditions are
+    ignored under availableNow (the drain already stops by itself).
 
     source_format="raw_jsonl" tails a raw-wire JSON-lines landing zone
     instead (Kafka-connect style) and decodes IN the stream — decode is
@@ -80,8 +112,28 @@ def start_ingest(
         )
     else:
         stream = stream_events(spark, events_dir, max_files_per_trigger)
-    stream = FL.apply_filters(stream, **filter_kwargs)
-    stream = stream.filter(F.col("op") != S.OP_DDL)
+
+    # ---- stop-condition plumbing (pre-filter observation) -----------------
+    stop_time = filter_kwargs.get("stop_time")
+    gtid_ranges: list = []
+    if stop_on_gtid_exhaustion:
+        spec = filter_kwargs.get("gtids")
+        if not spec:
+            raise ValueError("stop_on_gtid_exhaustion requires a gtids= filter")
+        gtid_ranges = FL.parse_gtid_sets(spec) if isinstance(spec, str) else list(spec)
+    want_monitor = not available_now and (
+        stop_time is not None
+        or stop_idle_secs is not None
+        or stop_max_rows is not None
+        or bool(gtid_ranges)
+    )
+    gate_exprs = [
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.unix_seconds(F.col("ts"))).alias("max_ts"),
+    ] + [
+        F.max(F.when(F.col("gtid_uuid") == r.uuid, F.col("gno"))).alias(f"gno_{i}")
+        for i, r in enumerate(gtid_ranges)
+    ]
     metrics_path = os.path.join(table.path, "_metrics.jsonl")
 
     def _query_scope() -> str:
@@ -112,7 +164,25 @@ def start_ingest(
             raise RuntimeError(f"unexpected queryId shape in {meta_path}: {qid!r}")
         return qid
 
+    import time as _time
+
+    gate_state: dict[str, Any] = {
+        "rows": 0, "max_ts": None, "gno": {}, "last_data": None, "batches": 0,
+    }
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if want_monitor and gate_state.get("stop_requested"):
+            # stop is imminent — skip the batch so query.stop() has no
+            # in-flight job to cancel (the un-committed batch re-delivers
+            # if the same checkpoint is ever resumed)
+            return
+        g = None
+        if want_monitor:
+            # narrow gate aggregate on the PRE-filter batch (header
+            # columns only — the payload never leaves the scan)
+            g = batch_df.agg(*gate_exprs).collect()[0]
+        batch_df = FL.apply_filters(batch_df, **filter_kwargs)
+        batch_df = batch_df.filter(F.col("op") != S.OP_DDL)
         # LWW happens inside the table's merge groupBy (apply.py)
         keyed = R.with_key(batch_df)
         if row_image == "MINIMAL":
@@ -121,8 +191,29 @@ def start_ingest(
             upserts = R.to_upsert_rows(keyed, schema_ver=schema_ver)
         m = table.commit(upserts, batch_id=f"stream-{_query_scope()}-{epoch_id}")
         m["epoch_id"] = epoch_id
+        gate_state["rows"] += int(m.get("rows_in_batch") or 0)
         with open(metrics_path, "a") as f:
             f.write(json.dumps(m) + "\n")
+        if g is not None:
+            # publish gates only AFTER the commit: a condition derived
+            # from this batch may stop the query the instant it becomes
+            # visible, and the batch that crossed the boundary must be
+            # durable first (otherwise the stop cancels the commit of
+            # the very rows inside the boundary — data loss)
+            gate_state["batches"] += 1
+            if g["n"]:
+                gate_state["last_data"] = _time.time()
+                if g["max_ts"] is not None:
+                    prev = gate_state["max_ts"]
+                    gate_state["max_ts"] = (
+                        float(g["max_ts"]) if prev is None else max(prev, float(g["max_ts"]))
+                    )
+                for i in range(len(gtid_ranges)):
+                    v = g[f"gno_{i}"]
+                    if v is not None:
+                        gate_state["gno"][i] = max(gate_state["gno"].get(i, int(v)), int(v))
+            elif gate_state["last_data"] is None:
+                gate_state["last_data"] = _time.time()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -131,7 +222,84 @@ def start_ingest(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    if want_monitor:
+        _watch_stop_conditions(
+            q,
+            metrics_path=metrics_path,
+            gate_state=gate_state,
+            stop_time=stop_time,
+            stop_max_rows=stop_max_rows,
+            stop_idle_secs=stop_idle_secs,
+            gtid_ranges=gtid_ranges,
+            poll_secs=stop_poll_secs,
+        )
+    return q
+
+
+def _watch_stop_conditions(
+    q: StreamingQuery,
+    *,
+    metrics_path: str,
+    gate_state: dict[str, Any],
+    stop_time: str | None,
+    stop_max_rows: int | None,
+    stop_idle_secs: float | None,
+    gtid_ranges: list,
+    poll_secs: float,
+) -> None:
+    """Daemon monitor: polls the gate values each micro-batch publishes
+    into `gate_state` and stops the query when a condition fires (see
+    start_ingest docstring). query.stop() must come from outside
+    foreachBatch — calling it inside the batch deadlocks."""
+    import threading
+    import time as _time
+    from datetime import datetime, timezone
+
+    stop_time_s = None
+    if stop_time is not None:
+        stop_time_s = (
+            datetime.strptime(stop_time, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+        )
+
+    def watch() -> None:
+        reason = None
+        while q.isActive and reason is None:
+            _time.sleep(poll_secs)
+            max_ts = gate_state["max_ts"]
+            seen_gno = gate_state["gno"]
+            last_data = gate_state["last_data"]
+            if stop_time_s is not None and max_ts is not None and max_ts > stop_time_s:
+                reason = "stop_time"
+            elif stop_max_rows is not None and gate_state["rows"] >= stop_max_rows:
+                reason = "max_rows"
+            elif gtid_ranges and all(
+                seen_gno.get(i, -1) >= r.stop for i, r in enumerate(gtid_ranges)
+            ):
+                reason = "gtid_exhausted"
+            elif (
+                stop_idle_secs is not None
+                and last_data is not None  # countdown starts at first batch
+                and (_time.time() - last_data) >= stop_idle_secs
+            ):
+                reason = "idle"
+        if reason is not None:
+            # record intent FIRST: process_batch skips further batches,
+            # and the reason survives even if stop() throws (a cancelled
+            # in-flight job surfaces as an exception on some paths)
+            gate_state["stop_requested"] = reason
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({"stop_reason": reason}) + "\n")
+            try:
+                q.stop()
+            except Exception:
+                pass  # already terminating; the reason is recorded
+
+    threading.Thread(target=watch, name="ingest-stop-monitor", daemon=True).start()
 
 
 def read_metrics(table: IcebergLiteTable) -> list[dict[str, Any]]:

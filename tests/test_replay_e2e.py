@@ -378,15 +378,57 @@ def test_mor_write_mode_end_to_end(spark, small_events, tmp_path):
     # flashback drains the table (seq rebase reads lineage from deltas)
     replay(small_events, mor, batch_id="fb", flashback=True)
     assert mor.read(spark).count() == 0
-    # MINIMAL row images are a loud error on MOR tables
+    # flashback over MINIMAL images is impossible anywhere (the
+    # unchanged columns were never logged)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="mor"):
-        replay(parts[0], mor, batch_id="mm", row_image="MINIMAL")
-    # ... and flashback over MINIMAL images is impossible anywhere (the
-    # unchanged columns were never logged)
     with _pytest.raises(NotImplementedError, match="MINIMAL"):
         replay(parts[0], cow, batch_id="fbm", flashback=True, row_image="MINIMAL")
+
+
+def test_mor_minimal_row_images(spark, tmp_path):
+    """MOR + MINIMAL row images (VERDICT r3 #5): deltas store per-key
+    winners WITH their merged `_changed_cols`, and reads do the
+    per-COLUMN last-present-writer merge. Checked against the
+    sequential oracle AND the CoW MINIMAL path across batches, through
+    compaction, and with mixed FULL/MINIMAL deltas on one table."""
+    from bingo2sql_spark.sources.synth import generate_events
+
+    ev = generate_events(spark, n_keys=150, versions_per_key=8, n_repos=15,
+                         seed=9, minimal_image=True)
+    pdf = ev.select("seq", "op", "before", "after", "changed_cols").toPandas()
+    expected = oracle.state_checksum(oracle.sequential_apply(pdf))
+    cut = int(pdf["seq"].max()) // 2
+    mor = IcebergLiteTable(str(tmp_path / "mm"), n_buckets=8, write_mode="mor")
+    replay(ev.filter(f"seq <= {cut}"), mor, batch_id="b1", row_image="MINIMAL")
+    assert mor.latest_manifest()["partial_deltas"] is True
+    replay(ev.filter(f"seq > {cut}"), mor, batch_id="b2", row_image="MINIMAL")
+    assert mor.state_checksum(spark) == expected
+    # column-wise survival across delta layers (lang written before the
+    # cut must survive a later content-only delta)
+    cow = IcebergLiteTable(str(tmp_path / "mc"), n_buckets=8)
+    replay(ev.filter(f"seq <= {cut}"), cow, batch_id="b1", row_image="MINIMAL")
+    replay(ev.filter(f"seq > {cut}"), cow, batch_id="b2", row_image="MINIMAL")
+    assert mor.state_checksum(spark) == cow.state_checksum(spark)
+    mor_rows = {(r["repo"], r["path"]): r["lang"] for r in mor.read(spark).collect()}
+    cow_rows = {(r["repo"], r["path"]): r["lang"] for r in cow.read(spark).collect()}
+    assert mor_rows == cow_rows
+    # compaction folds partial deltas into complete base rows and clears
+    # the per-column read mode
+    mor.compact(spark, drop_tombstones=False)
+    man = mor.latest_manifest()
+    assert man["deltas"] == {} and man["partial_deltas"] is False
+    assert mor.state_checksum(spark) == expected
+    # a FULL-image delta layered on top of the compacted base still
+    # merges correctly when a later MINIMAL delta re-enables the
+    # per-column path (mixed delta kinds in one manifest)
+    ev2 = generate_events(spark, n_keys=150, versions_per_key=8, n_repos=15,
+                          seed=9)  # same stream, FULL images
+    tail = ev2.filter(f"seq > {cut}")
+    replay(tail, mor, batch_id="b3")  # FULL re-upsert, idempotent by LWW
+    replay(ev.filter(f"seq > {cut}"), mor, batch_id="b4", row_image="MINIMAL")
+    assert mor.latest_manifest()["partial_deltas"] is True
+    assert mor.state_checksum(spark) == expected
 
 
 def test_mor_inline_auto_compaction(spark, small_events, tmp_path):
@@ -411,6 +453,32 @@ def test_mor_inline_auto_compaction(spark, small_events, tmp_path):
     assert t.state_checksum(spark) == ref.state_checksum(spark)
     # the auto-compaction snapshot does not break exactly-once
     assert replay(parts[2], t, batch_id="a2")["skipped"]
+
+
+def test_flashback_replay_no_extra_scan(spark, small_events, tmp_path):
+    """The flashback rebase must not add a pass over the source: the
+    batch-max pre-pass (old pipeline agg(max(seq)).collect()) now rides
+    the commit's pruning pre-pass, so a flashback replay runs no more
+    Spark jobs than a forward replay against the same populated table
+    (VERDICT r3 #4) — and still rolls the table back fully."""
+    sc = spark.sparkContext
+    t = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    replay(small_events, t, batch_id="load")
+
+    def jobs(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n_fwd = jobs("fwd-jobs", lambda: replay(small_events, t, batch_id="fwd2"))
+    n_fb = jobs(
+        "fb-jobs", lambda: replay(small_events, t, batch_id="fb", flashback=True)
+    )
+    assert n_fb <= n_fwd, (n_fb, n_fwd)
+    assert t.read(spark).count() == 0  # rollback actually drained it
 
 
 def test_mor_auto_compaction_preserves_tombstones(spark, small_events, tmp_path):

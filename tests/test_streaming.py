@@ -128,6 +128,117 @@ def test_stream_continuous_trigger(spark, small_events, tmp_path):
         q.stop()
 
 
+def _land_sequential(events, land, n_files=8):
+    """Land part files whose mtimes follow seq order, so the file stream
+    (sorted by timestamp) delivers them in log order — the S1 'file
+    order = event order' premise, made explicit for stop-boundary
+    tests."""
+    import time
+
+    tmp = land + "_stage"
+    (
+        events.repartitionByRange(n_files, "seq")
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(land, exist_ok=True)
+    now = time.time()
+    for i, f in enumerate(sorted(os.listdir(tmp))):
+        if f.endswith(".parquet"):
+            dst = os.path.join(land, f)
+            shutil.copy(os.path.join(tmp, f), dst)
+            os.utime(dst, (now + i, now + i))
+
+
+def test_stream_self_stop_on_stop_time(spark, small_events, tmp_path):
+    """A CONTINUOUS (processingTime) tail self-stops once an event
+    strictly past stop_time is read (reference live-loop exit,
+    core/parser.go:2262-2293), and the table equals the bounded batch
+    replay with the same stop_time."""
+    from bingo2sql_spark.pipeline import replay
+
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    _land_sequential(small_events, land)
+    stop_time = "2024-01-01 00:15:00"  # ts = 1704067200 + seq -> seq 900
+    table = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    q = start_ingest(
+        spark, land, table, ckpt,
+        available_now=False, processing_time="1 second",
+        max_files_per_trigger=2, stop_poll_secs=0.3,
+        stop_time=stop_time,
+    )
+    assert q.awaitTermination(180), "query did not self-stop"
+    assert not q.isActive
+    reasons = [m["stop_reason"] for m in read_metrics(table) if "stop_reason" in m]
+    assert reasons == ["stop_time"]
+    ref = IcebergLiteTable(str(tmp_path / "ref"), n_buckets=8)
+    replay(small_events, ref, batch_id="ref", stop_time=stop_time)
+    assert table.state_checksum(spark) == ref.state_checksum(spark)
+    assert table.read(spark).count() > 0
+
+
+def test_stream_self_stop_on_gtid_exhaustion(spark, small_events, tmp_path):
+    """Continuous tail stops when every requested GTID interval is fully
+    absorbed (per-uuid gno monotonicity; core/parser.go:434-437), state
+    equal to the batch replay under the same gtids filter."""
+    from bingo2sql_spark.pipeline import replay
+    from bingo2sql_spark.sources.synth import SERVER_UUIDS
+
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    _land_sequential(small_events, land)
+    spec = f"{SERVER_UUIDS[0]}:0-400,{SERVER_UUIDS[1]}:100-350"
+    table = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    q = start_ingest(
+        spark, land, table, ckpt,
+        available_now=False, processing_time="1 second",
+        max_files_per_trigger=2, stop_poll_secs=0.3,
+        gtids=spec, stop_on_gtid_exhaustion=True,
+    )
+    assert q.awaitTermination(180), "query did not self-stop"
+    reasons = [m["stop_reason"] for m in read_metrics(table) if "stop_reason" in m]
+    assert reasons == ["gtid_exhausted"]
+    ref = IcebergLiteTable(str(tmp_path / "ref"), n_buckets=8)
+    replay(small_events, ref, batch_id="ref", gtids=spec)
+    assert table.state_checksum(spark) == ref.state_checksum(spark)
+
+
+def test_stream_self_stop_idle_and_max_rows(spark, small_events, tmp_path):
+    """Source-idle exit (the reference's 10s-idle stop) and the
+    cumulative max-rows cap, each on a live processingTime tail."""
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    _land_sequential(small_events, land, n_files=4)
+    table = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    q = start_ingest(
+        spark, land, table, ckpt,
+        available_now=False, processing_time="1 second",
+        stop_poll_secs=0.3, stop_idle_secs=6,
+    )
+    assert q.awaitTermination(180), "query did not self-stop on idle"
+    reasons = [m["stop_reason"] for m in read_metrics(table) if "stop_reason" in m]
+    assert reasons == ["idle"]
+    # idle stop happened AFTER the backlog drained
+    pdf = small_events.select("seq", "op", "before", "after").toPandas()
+    assert table.state_checksum(spark) == oracle.state_checksum(
+        oracle.sequential_apply(pdf)
+    )
+
+    t2 = IcebergLiteTable(str(tmp_path / "t2"), n_buckets=8)
+    q2 = start_ingest(
+        spark, land, t2, str(tmp_path / "ckpt2"),
+        available_now=False, processing_time="1 second",
+        max_files_per_trigger=1, stop_poll_secs=0.3,
+        stop_max_rows=100,
+    )
+    assert q2.awaitTermination(180), "query did not self-stop on max rows"
+    reasons = [m["stop_reason"] for m in read_metrics(t2) if "stop_reason" in m]
+    assert reasons == ["max_rows"]
+    committed = sum(
+        m.get("rows_in_batch", 0) for m in read_metrics(t2) if not m.get("skipped")
+    )
+    assert committed >= 100  # batch-granularity overshoot is allowed
+
+
 def test_stream_ingest_raw_jsonl_source(spark, small_events, tmp_path):
     """source_format='raw_jsonl': tail a raw-wire JSON-lines landing
     zone, decode in-stream, converge to the batch-replay state."""
