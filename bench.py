@@ -35,12 +35,26 @@ def headline_replay(spark, n_events: int) -> dict:
     never pays a text-parse tax — decode is a pure projection and the
     narrowed before image prunes down to the parquet scan. The JSON
     landing (the Kafka-connect-style text fallback) is timed alongside
-    as replay_json_secs for round-over-round continuity."""
+    as replay_json_secs for round-over-round continuity.
+
+    Timing discipline (VERDICT r3 #9 — match BENCH/run_scaling.py):
+    each headline sample runs in a FRESH taskset-pinned JVM (long-lived
+    JVMs degrade across repeated jobs; pinning stops the GC/compression
+    threads of an idle parent flattering the run), minimum of 4 samples
+    for the typed headline / 2 for the JSON fallback (the hypervisor
+    has noisy neighbors — the minimum reflects engine cost, not
+    interference). The incremental/MOR second-batch numbers stay
+    in-session (they measure a warm table, not the cold headline)."""
     from bingo2sql_spark.operators.apply import IcebergLiteTable
     from bingo2sql_spark.pipeline import replay
-    from bingo2sql_spark.sources.decode import decode_events, decode_events_typed
+    from bingo2sql_spark.sources.decode import decode_events_typed
     from bingo2sql_spark.sources.synth import generate_events, to_raw, to_raw_typed
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "BENCH"))
+    import run_scaling as RS
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     tmp = tempfile.mkdtemp(prefix="bench_cdc_", dir=_fast_tmp())
     try:
         src_typed = os.path.join(tmp, "events_typed")
@@ -51,33 +65,20 @@ def headline_replay(spark, n_events: int) -> dict:
         )
         to_raw_typed(env).write.mode("overwrite").parquet(src_typed)
         to_raw(env).write.mode("overwrite").parquet(src_json)
+
+        # fresh pinned JVM per sample (the parent session sits idle)
+        secs = min(RS.run_one(cpus, src_typed, n_events, "typed") for _ in range(4))
+        json_secs = min(RS.run_one(cpus, src_json, n_events, "json") for _ in range(2))
+
         # forward replay only needs merge keys from the before image:
-        # typed -> nested-schema pruning skips the before payload bytes;
-        # JSON -> narrowed from_json schema skips tokenizing them
+        # typed -> nested-schema pruning skips the before payload bytes
         KEYS = ["repo", "path"]
         events = decode_events_typed(spark.read.parquet(src_typed), before_fields=KEYS)
-        events_json = decode_events(spark.read.parquet(src_json), before_fields=KEYS)
-
-        # JVM/codegen warmup on a small slice (reference methodology:
-        # medians of 10 timed runs, docs/test.md) — one throwaway replay
+        # warm + load a table in-session for the incremental/MOR numbers
         warm = IcebergLiteTable(os.path.join(tmp, "warm"), n_buckets=8)
         replay(events.filter("seq % 50 = 0"), warm, batch_id="warm", tables=["repo_files"])
-
-        # timed: initial load replay (min of 2 — the sandbox hypervisor
-        # has noisy neighbors; see BENCH/run_scaling.py) + an
-        # incremental second batch
-        secs = json_secs = None
-        for attempt in ("a", "b"):
-            table = IcebergLiteTable(os.path.join(tmp, f"target-{attempt}"), n_buckets=64)
-            t0 = time.time()
-            replay(events, table, batch_id="bench", tables=["repo_files"])
-            one = time.time() - t0
-            secs = one if secs is None else min(secs, one)
-            jt = IcebergLiteTable(os.path.join(tmp, f"target-j{attempt}"), n_buckets=64)
-            t0 = time.time()
-            replay(events_json, jt, batch_id="bench", tables=["repo_files"])
-            one = time.time() - t0
-            json_secs = one if json_secs is None else min(json_secs, one)
+        table = IcebergLiteTable(os.path.join(tmp, "target-a"), n_buckets=64)
+        replay(events, table, batch_id="bench", tables=["repo_files"])
         rows = table.read(spark).count()
 
         ev2 = generate_events(
@@ -153,7 +154,7 @@ def main() -> None:
         "sf": sf,
         **head,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-        "timing": "min_of_2_runs",
+        "timing": "headline_fresh_pinned_jvm_min_of_4",
     }
     # full results (incl. per-query deltas vs the previous round) go to a
     # FILE; the stdout line must stay under the driver's 2000-char tail

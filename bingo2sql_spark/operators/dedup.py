@@ -154,34 +154,58 @@ def connected_components(
     id_b: str = "id_b",
     id_col: str = "doc_id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Connected components over a near-dup pair graph by iterative
-    min-label propagation: every vertex converges to the SMALLEST id in
-    its component (the canonical keeper). This is the step that turns
-    pairwise dedup output into an actionable keep/drop assignment —
-    near-dup relations are not transitive, so pair lists alone
-    over-delete or under-delete.
+    """Connected components over a near-dup pair graph: every vertex
+    converges to the SMALLEST id in its component (the canonical
+    keeper). This is the step that turns pairwise dedup output into an
+    actionable keep/drop assignment — near-dup relations are not
+    transitive, so pair lists alone over-delete or under-delete.
 
-    Scale shape: each round is one groupBy-min over (edges ⋈ labels) —
-    a hash shuffle on vertex id; rounds needed = graph diameter, and
-    near-dup components are clique-like (diameter 1-2), so 2-3 rounds
-    cover real corpora. Convergence is detected by counting changed
-    labels (an AQE-sized aggregate, not a collect of the labels).
-    localCheckpoint truncates the loop's lineage so plans don't grow
-    exponentially. Returns (id, component) with component = min id.
-    `vertices` adds isolated docs (their own component)."""
+    Algorithm: min-label propagation PLUS pointer jumping — each round
+    takes (a) the min over neighbors' labels, then (b) shortcuts
+    through the current label (component := min(component,
+    label(component))), which halves label-chain length every round.
+    Rounds needed = O(log diameter) instead of O(diameter): a 10^4-node
+    PATH graph converges in ~14 rounds (test_properties pins it), and
+    clique-like near-dup components still converge in 2-3. Each round
+    is two hash shuffles on vertex id (the neighbor groupBy-min and the
+    metadata-sized shortcut join); convergence is a counted aggregate,
+    never a label collect. Raises RuntimeError if max_iter rounds do
+    not converge — a silently-unstable labeling would mis-assign
+    keepers.
+
+    Fault tolerance: by default each round truncates lineage with
+    localCheckpoint, whose blocks live on executors — right for
+    local/ephemeral runs, but a lost executor kills a long multi-round
+    job. Pass `checkpoint_dir` (HDFS/object-store path) for cluster
+    runs: rounds then use RELIABLE checkpoints that survive executor
+    loss (the driver sets spark.sparkContext.setCheckpointDir).
+
+    Returns (id, component) with component = min id. `vertices` adds
+    isolated docs (their own component)."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     # materialize the edge list ONCE: every round joins it, and the
     # upstream pair pipeline (minhash/LSH) must not re-run per round
-    sym = sym.localCheckpoint(eager=True)
+    sym = ckpt(sym)
     labels = sym.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         labels = labels.unionByName(
             vertices.select(F.col(id_col).alias("id"))
         ).distinct()
-    labels = labels.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    labels = ckpt(labels.withColumn("component", F.col("id")))
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -189,7 +213,20 @@ def connected_components(
             .unionByName(labels.select("id", "component"))
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: follow the label one hop (component is itself
+        # a vertex id, so its own label exists) and take the min — label
+        # chains collapse by doubling, giving O(log diameter) rounds
+        parent = prop.select(
+            F.col("id").alias("component"), F.col("component").alias("_pcomp")
+        )
+        prop = ckpt(
+            prop.join(parent, "component", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
+                ).alias("component"),
+            )
         )
         changed = (
             prop.join(labels.withColumnRenamed("component", "old"), "id")
@@ -198,8 +235,12 @@ def connected_components(
         )
         labels = prop
         if changed == 0:
-            break
-    return labels.select(F.col("id"), F.col("component"))
+            return labels.select(F.col("id"), F.col("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter too large?) — raise max_iter; the labeling "
+        f"would be silently wrong if returned"
+    )
 
 
 def keeper_assignment(

@@ -303,3 +303,31 @@ def test_connected_components_chain_and_isolated(spark):
         for r in DD.keeper_assignment(docs, pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_high_diameter_path(spark, tmp_path):
+    """Round-complexity contract (VERDICT r3 #7): pointer jumping makes
+    rounds O(log diameter), so a 10^4-node PATH graph — the worst case
+    for plain min-label propagation (10^4 rounds) — must converge
+    within ~log2(n)+slack rounds. Also exercises the RELIABLE
+    checkpoint option (cluster fault-tolerance path) and the loud
+    non-convergence error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    cc = DD.connected_components(pairs, max_iter=18)
+    assert cc.filter(F.col("component") != 0).count() == 0
+    assert cc.count() == n
+    # reliable-checkpoint variant converges to the same labeling
+    cc2 = DD.connected_components(
+        pairs.filter("id_a < 63"), max_iter=10,
+        checkpoint_dir=str(tmp_path / "cc_ckpt"),
+    )
+    assert cc2.filter(F.col("component") != 0).count() == 0
+    # refusing to return an unstable labeling is loud
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iter=3)
