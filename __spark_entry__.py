@@ -327,14 +327,16 @@ def _q_changelog(spark, sf_dir):
     )
 
 
-def _q_minimal_final_state(spark, sf_dir):
+def _q_minimal_final_state(spark, sf_dir, write_mode="cow"):
     """MINIMAL row-image replay end-to-end (T3/T10 semantics gap closed
     per VERDICT r3 #3): materialize the table with the real
     row_image="MINIMAL" path — to_upsert_rows_partial + the per-column
-    last-present-writer merge (apply._merge_batch partial=True) — in two
-    commits so stored rows act as full-image pseudo-events under the
-    columnar merge. Oracle: per-column last_value(... IGNORE NULLS) over
-    the mirrored stream."""
+    last-present-writer merge (apply._per_key_winners partial=True) —
+    in two commits so stored rows act as full-image pseudo-events under
+    the columnar merge. Oracle: per-column last_value(... IGNORE NULLS)
+    over the mirrored stream. The "mor" variant stores MINIMAL deltas
+    (merged _changed_cols metadata) and resolves them with the
+    per-column READ-time merge — same oracle by construction."""
     import tempfile
 
     from bingo2sql_spark.operators.apply import IcebergLiteTable
@@ -342,12 +344,16 @@ def _q_minimal_final_state(spark, sf_dir):
 
     env = _doc_events_minimal(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="bingo2sql_minimal_")
-    t = IcebergLiteTable(os.path.join(tmp, "t"), n_buckets=16)
+    t = IcebergLiteTable(os.path.join(tmp, "t"), n_buckets=16, write_mode=write_mode)
     replay(env.filter(F.col("seq") < 1000000), t, batch_id="m1", row_image="MINIMAL")
     replay(env.filter(F.col("seq") >= 1000000), t, batch_id="m2", row_image="MINIMAL")
     return t.read(spark).select(
         "repo", "path", "commit", "lang", F.sha2(F.col("content"), 256).alias("content_sha")
     )
+
+
+def _q_minimal_final_state_mor(spark, sf_dir):
+    return _q_minimal_final_state(spark, sf_dir, write_mode="mor")
 
 
 def _q_time_range(spark, sf_dir):
@@ -892,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_checkpoint_split_replay": _q_checkpoint_split_replay,
         "cdc_changelog_net_changes": _q_changelog,
         "cdc_minimal_image_final_state": _q_minimal_final_state,
+        "cdc_minimal_image_mor_final_state": _q_minimal_final_state_mor,
         "cdc_time_range_filter": _q_time_range,
         "cdc_pos_range_filter": _q_pos_range,
         "cdc_gtid_filter": _q_gtid_filter,
@@ -1103,6 +1110,9 @@ SELECT repo, path, commit, lang, sha256(content) AS content_sha FROM (
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ) WHERE rn=1 AND last_op <> 'delete'
 """
+    # MOR variant stores MINIMAL deltas and resolves per-column at READ
+    # time — identical register semantics, identical oracle
+    q["cdc_minimal_image_mor_final_state"] = q["cdc_minimal_image_final_state"]
     q["cdc_time_range_filter"] = """
 SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
 WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts <= TIMESTAMP '2024-01-04 23:59:59'

@@ -42,6 +42,23 @@ add("CDC replay: decode -> upsert projection -> single-exchange MERGE", merged,
     "plans NO second shuffle; rows reach the pbucket-partitioned write already "
     "clustered (one file per bucket).")
 
+# 1b. typed-wire decode: pure projection + nested-schema pruning
+from bingo2sql_spark.sources.synth import to_raw_typed
+from bingo2sql_spark.sources.decode import decode_events_typed
+spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+to_raw_typed(generate_events(spark, n_keys=2000, versions_per_key=4)).write.mode("overwrite").parquet(d + "/typed")
+typed_raw = spark.read.parquet(d + "/typed")
+add("typed-wire decode (RAW_EVENT_TYPED): projection only, pruned before image",
+    decode_events_typed(typed_raw.filter("op <> 'ddl'"), before_fields=["repo", "path"]),
+    "The recommended landing at scale: the binlog is binary, so a connector that "
+    "keeps values typed end-to-end makes decode a pure codegen projection (no "
+    "from_json anywhere in the plan). With the before image narrowed to the merge "
+    "keys, nested-schema pruning reaches the scan: ReadSchema carries "
+    "before:struct<repo,path> only — the before payload bytes (content dominates) "
+    "are never read off disk. The presence probe reads a key FIELD, not the "
+    "struct root, which would have forced the full struct read.")
+spark.conf.unset("spark.sql.maxMetadataStringLength")
+
 from bingo2sql_spark.functions.render import render_sql_inline
 env = decode_events(raw)  # rendering needs the FULL before image (minimal SET diff)
 add("render_sql_inline (de-skewed multi-row INSERT batching)", render_sql_inline(env.filter("op <> 'ddl'")),
