@@ -125,7 +125,13 @@ def main() -> None:
     local_dir = tempfile.mkdtemp(prefix="bench_spark_local_", dir=_fast_tmp())
     spark = get_spark("bench", extra_conf={"spark.local.dir": local_dir})
 
-    n_events = int(os.environ.get("BENCH_EVENTS", str(max(80_000, int(8_000_000 * sf)))))
+    # Headline size: 4x the former 8M*sf default. With decode reduced to
+    # a projection, an 800k-event replay finishes in ~2.8s — mostly the
+    # ~2s per-job constant (driver planning + scheduling + write commit;
+    # BENCH/BASELINE.md round-4 phase probe), which measures the
+    # constant, not the engine. 3.2M events at sf0.1 puts the headline
+    # back in the throughput-bound regime the baseline describes.
+    n_events = int(os.environ.get("BENCH_EVENTS", str(max(400_000, int(32_000_000 * sf)))))
     head = headline_replay(spark, n_events)
 
     import __spark_entry__ as entrymod
@@ -174,7 +180,12 @@ def main() -> None:
     out["full_results"] = "BENCH/bench_latest.json"
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the tail budget, queries are the must-keep
-        for drop in ("full_results", "timing", "final_rows", "cpus"):
+        for drop in (
+            "full_results", "timing", "final_rows", "cpus",
+            # derivable from the *_secs fields, which stay
+            "json_events_per_sec", "incremental_events_per_sec",
+            "incremental_mor_events_per_sec",
+        ):
             out.pop(drop, None)
             line = json.dumps(out, separators=(",", ":"))
             if len(line) <= 1900:

@@ -380,6 +380,33 @@ class IcebergLiteTable:
             *[c for c in df.columns if c not in hidden]
         )
 
+    def read_keys(
+        self,
+        spark: SparkSession,
+        keys: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookups: live rows for exactly `keys` (merge-key
+        tuples), reading ONLY the buckets that own them — at 64 buckets
+        a one-key lookup scans 1/64th of the table, and k keys scan at
+        most min(k, n_buckets) buckets, independent of table size (the
+        Iceberg bucket-transform point-read story).
+
+        The owning bucket is hash(composite key) — computed with the
+        same JVM xxhash64 expression the writer used (bucket_col), via a
+        metadata-scale job over the key literals, so driver and executor
+        hashing can never diverge. The exact-key filter is a broadcast
+        LEFT SEMI join (no shuffle of the table side)."""
+        if not keys:
+            return self.read(spark, buckets=[])
+        kdf = spark.createDataFrame(keys, list(S.MERGE_KEYS))
+        bks = sorted(
+            r["b"]
+            for r in kdf.select(bucket_col(self.n_buckets).alias("b")).distinct().collect()
+        )
+        df = self.read(spark, buckets=bks, version=version)
+        return df.join(F.broadcast(kdf), on=list(S.MERGE_KEYS), how="left_semi")
+
     def changes_between(
         self, spark: SparkSession, from_version: int, to_version: int
     ) -> DataFrame:
@@ -820,12 +847,11 @@ class IcebergLiteTable:
         monotone in (log_file, log_pos) and seq is its flattening, so
         the group's max-seq event also holds the group's lexicographic
         max (log_file, log_pos)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        out: dict[str, dict[str, Any]] = {}
-        for d in sorted(os.listdir(snap_dir)):
-            if not d.startswith("pbucket="):
-                continue
+        def one_bucket(d: str):
             bk = d.split("=", 1)[1]
             best = None  # (max_seq, log_file, log_pos) of the owning row group
             rows = 0
@@ -849,6 +875,16 @@ class IcebergLiteTable:
                         continue
                     if best is None or seq > best[0]:
                         best = (seq, stat_max("_log_file"), stat_max("_log_pos"))
+            return bk, rows, best
+
+        dirs = sorted(d for d in os.listdir(snap_dir) if d.startswith("pbucket="))
+        # footer reads are driver-serial commit cost: thread them (pyarrow
+        # releases the GIL in the C++ reader; ~constant wall time per commit
+        # regardless of bucket count)
+        out: dict[str, dict[str, Any]] = {}
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(dirs)))) as ex:
+            results = list(ex.map(one_bucket, dirs))
+        for bk, rows, best in results:
             if rows:
                 seq, lf, lp = best if best else (None, None, None)
                 out[bk] = {

@@ -81,6 +81,35 @@ def stream_raw_jsonl(
     return reader.json(path)
 
 
+def stream_raw_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S1 network-tail variant: a PUSH-based TCP stream of raw-wire
+    JSON-lines events — the closest public-Spark analog of a
+    replication-protocol client (the reference's BinlogSyncer,
+    core/parser.go:330-520, is a live TCP connection to the server, not
+    a file listing). Each line is one RAW_EVENT JSON object; decode is
+    the same `from_json` projection as the file paths, so filters still
+    push below it and the rest of the pipeline (decode -> filters ->
+    foreachBatch MERGE, exactly-once by batch id) is IDENTICAL to the
+    file-tail path.
+
+    Honest caveat (also why this is not the default): Spark's socket
+    source is NOT fault-tolerant — a dropped connection loses in-flight
+    lines (no replay offset, unlike the binlog protocol's GTID resume).
+    Production deployments front the tail with a replayable log
+    (Kafka/Kinesis or the file landing zone); this source exists to
+    prove the push-protocol integration shape end-to-end."""
+    from bingo2sql_spark.schema import RAW_EVENT
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = lines.select(F.from_json(F.col("value"), RAW_EVENT).alias("_e"))
+    return parsed.select("_e.*")
+
+
 def head_position(spark: SparkSession, path: str) -> tuple[str, int]:
     """S4 master-status analog: the highest (log_file, log_pos) landed."""
     df = spark.read.parquet(path)

@@ -110,6 +110,16 @@ def start_ingest(
             stream_raw_jsonl(spark, events_dir, max_files_per_trigger),
             schema_ver=schema_ver,
         )
+    elif source_format == "raw_socket":
+        # push-based network tail (events_dir = "host:port"); see
+        # layout.stream_raw_socket for the fault-tolerance caveat
+        from bingo2sql_spark.sources.decode import decode_events
+        from bingo2sql_spark.sources.layout import stream_raw_socket
+
+        host, _, port = events_dir.rpartition(":")
+        stream = decode_events(
+            stream_raw_socket(spark, host, int(port)), schema_ver=schema_ver
+        )
     else:
         stream = stream_events(spark, events_dir, max_files_per_trigger)
 

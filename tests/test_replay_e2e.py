@@ -455,6 +455,33 @@ def test_mor_inline_auto_compaction(spark, small_events, tmp_path):
     assert replay(parts[2], t, batch_id="a2")["skipped"]
 
 
+def test_read_keys_point_lookup_prunes_buckets(spark, small_events, tmp_path):
+    """read_keys returns exactly the live rows of the requested keys and
+    reads ONLY their owning buckets (at 32 buckets a 3-key lookup scans
+    <= 3 bucket dirs — the Iceberg bucket-transform point-read)."""
+    import re
+
+    t = IcebergLiteTable(str(tmp_path / "t"), n_buckets=32)
+    replay(small_events, t, batch_id="load")
+    live = t.read(spark).select("repo", "path", "commit").collect()
+    want = [(r["repo"], r["path"]) for r in live[:3]]
+    got = t.read_keys(spark, want + [("no-such-repo", "no/such/path")])
+    rows = got.collect()
+    assert {(r["repo"], r["path"]) for r in rows} == set(want)
+    # values match the full read
+    full = {(r["repo"], r["path"]): r["commit"] for r in live}
+    assert all(full[(r["repo"], r["path"])] == r["commit"] for r in rows)
+    # scan pruned to the owning buckets only
+    touched = {
+        re.search(r"pbucket=(\d+)", f).group(1)
+        for f in got.inputFiles()
+        if "pbucket=" in f
+    }
+    assert 1 <= len(touched) <= 4  # 3 keys + 1 miss -> at most 4 buckets
+    # empty key list reads nothing
+    assert t.read_keys(spark, []).count() == 0
+
+
 def test_flashback_replay_no_extra_scan(spark, small_events, tmp_path):
     """The flashback rebase must not add a pass over the source: the
     batch-max pre-pass (old pipeline agg(max(seq)).collect()) now rides

@@ -263,6 +263,79 @@ def test_stream_ingest_raw_jsonl_source(spark, small_events, tmp_path):
     assert table.state_checksum(spark) == ref.state_checksum(spark)
 
 
+def test_stream_ingest_raw_socket_source(spark, small_events, tmp_path):
+    """source_format='raw_socket': a PUSH-based TCP tail (the
+    replication-protocol-client shape, vs the pull/file listing) decodes
+    in-stream and converges to the batch-replay state; the idle stop
+    condition drains it (a socket source has no availableNow)."""
+    import socket
+    import threading
+
+    from bingo2sql_spark.pipeline import replay
+    from bingo2sql_spark.sources.synth import to_raw
+
+    lines = "\n".join(to_raw(small_events).toJSON().collect()) + "\n"
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(lines.encode())
+        done.wait(180)  # keep the connection open until the test ends
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    table = IcebergLiteTable(str(tmp_path / "t_sock"), n_buckets=8)
+    try:
+        q = start_ingest(
+            spark, f"127.0.0.1:{port}", table, str(tmp_path / "ckpt_sock"),
+            source_format="raw_socket",
+            available_now=False, processing_time="1 second",
+            stop_poll_secs=0.3, stop_idle_secs=6,
+            tables=["repo_files"],
+        )
+        assert q.awaitTermination(180), "socket tail did not idle-stop"
+    finally:
+        done.set()
+        srv.close()
+    ref = IcebergLiteTable(str(tmp_path / "t_sock_ref"), n_buckets=8)
+    replay(small_events, ref, batch_id="ref", tables=["repo_files"])
+    assert table.state_checksum(spark) == ref.state_checksum(spark)
+    assert table.read(spark).count() > 0
+
+
+def test_stream_ingest_minimal_into_mor(spark, tmp_path):
+    """Composition of the two round-4 features: a MINIMAL row-image
+    stream ingested into a merge-on-read table through foreachBatch —
+    per-column delta merge at read time — equals the sequential
+    oracle."""
+    from bingo2sql_spark.sources.synth import generate_events
+
+    ev = generate_events(spark, n_keys=150, versions_per_key=8, n_repos=15,
+                         seed=9, minimal_image=True)
+    land = str(tmp_path / "landing_min")
+    _write_ordered(ev, land, n_files=4)
+    table = IcebergLiteTable(str(tmp_path / "mor_min"), n_buckets=8,
+                             write_mode="mor")
+    q = start_ingest(spark, land, table, str(tmp_path / "ckpt_min"),
+                     max_files_per_trigger=2, row_image="MINIMAL")
+    q.awaitTermination(120)
+    assert table.latest_manifest()["partial_deltas"] is True
+    pdf = ev.select("seq", "op", "before", "after", "changed_cols").toPandas()
+    assert table.state_checksum(spark) == oracle.state_checksum(
+        oracle.sequential_apply(pdf)
+    )
+    table.compact(spark)
+    assert table.state_checksum(spark) == oracle.state_checksum(
+        oracle.sequential_apply(pdf)
+    )
+
+
 def test_stream_ingest_mor_table(spark, small_events, tmp_path):
     """Streaming ingest into a merge-on-read table: every micro-batch is
     a delta append (no stored data read), restart from the checkpoint is
