@@ -567,6 +567,43 @@ def _q_text_quality(spark, sf_dir):
     )
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction (training-data hygiene). The synthetic documents
+    carry no organic PII, so BOTH sides append a deterministic
+    doc_id-derived email + IPv4 before scrubbing — the redaction is
+    exercised on every row and a wrong pattern/order changes the
+    hash."""
+    from bingo2sql_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        doc_id.cast("string"),
+        F.lit("@ex-mail.org from 10.0."),
+        (doc_id % 200).cast("string"),
+        F.lit(".7 now"),
+    )
+    scrubbed = TX.scrub_pii(seeded)
+    return docs.select(
+        "doc_id",
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+        (F.size(F.split(scrubbed, "<EMAIL>")) - 1).alias("n_emails"),
+        (F.size(F.split(scrubbed, "<IP>")) - 1).alias("n_ips"),
+    )
+
+
+def _q_repetition(spark, sf_dir):
+    from bingo2sql_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.repetition_ratio("text").alias("rep_ratio"),
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from bingo2sql_spark.functions import text as TX
 
@@ -923,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_text_tokens,
         "text_quality_score": _q_text_quality,
         "text_lang_id": _q_lang_id,
+        "text_pii_scrub": _q_pii_scrub,
+        "text_repetition_ratio": _q_repetition,
         "ann_cosine_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1329,6 +1368,34 @@ SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0 AS BIGINT) AS multi_assigned,
        CAST(sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS oversized_docs
 FROM tok GROUP BY grp
+"""
+    # PII scrub: same seeded text, same pattern order (email THEN ip),
+    # RE2/Java-shared regex syntax; 'g' = replace-all like Spark
+    q["text_pii_scrub"] = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || cast(doc_id AS varchar) || '@ex-mail.org from 10.0.'
+              || cast(doc_id%200 AS varchar) || '.7 now' AS t
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS scrubbed
+  FROM seeded
+)
+SELECT doc_id, sha256(scrubbed) AS scrubbed_sha,
+       CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS INT) AS n_emails,
+       CAST(len(string_split(scrubbed, '<IP>')) - 1 AS INT) AS n_ips
+FROM s
+"""
+    q["text_repetition_ratio"] = f"""
+WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents)
+SELECT doc_id,
+       round(CAST(list_max(list_transform(list_distinct(toks),
+                                          w -> len(list_filter(toks, x -> x = w)))) AS double)
+             / len(toks), 4) AS rep_ratio
+FROM t
 """
     q["text_token_count"] = f"""
 SELECT doc_id, len({_WORDS}) AS n_tokens,

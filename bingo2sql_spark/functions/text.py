@@ -118,6 +118,37 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+#: PII patterns — kept to syntax shared by Java regex and RE2 (character
+#: classes, bounded repeats, \b, plain groups; no lookarounds) so the
+#: DuckDB oracle replays them verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact obvious PII spans (training-data hygiene): emails ->
+    <EMAIL>, IPv4 addresses -> <IP>. Pure regexp_replace chain — stays
+    in codegen, linear scan per doc; extend the pattern list for
+    phone/SSN formats per jurisdiction. Order matters (email first: an
+    address-like host inside an email must not be half-replaced) and is
+    mirrored in the oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
+def repetition_ratio(text: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token — the
+    cheap boilerplate/spam signal (near 1.0 = one token repeated).
+    Higher-order array functions only; per-doc cost is
+    O(tokens x distinct), bounded by doc length, embarrassingly
+    parallel across docs."""
+    t = tokens(text)
+    d = F.array_distinct(t)
+    counts = F.transform(d, lambda w: F.size(F.filter(t, lambda x: x == w)))
+    return F.round(F.array_max(counts).cast("double") / F.size(t), 4)
+
+
 def simhash_bits(text: Column | str, n_bits: int = 16) -> Column:
     """SimHash over whitespace tokens, emitted as an n_bits 0/1 string.
 

@@ -155,6 +155,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    jump_after: int = 2,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every vertex
     converges to the SMALLEST id in its component (the canonical
@@ -162,18 +163,21 @@ def connected_components(
     actionable keep/drop assignment — near-dup relations are not
     transitive, so pair lists alone over-delete or under-delete.
 
-    Algorithm: min-label propagation PLUS pointer jumping — each round
-    takes (a) the min over neighbors' labels, then (b) shortcuts
-    through the current label (component := min(component,
-    label(component))), which halves label-chain length every round.
-    Rounds needed = O(log diameter) instead of O(diameter): a 10^4-node
-    PATH graph converges in ~14 rounds (test_properties pins it), and
-    clique-like near-dup components still converge in 2-3. Each round
-    is two hash shuffles on vertex id (the neighbor groupBy-min and the
-    metadata-sized shortcut join); convergence is a counted aggregate,
-    never a label collect. Raises RuntimeError if max_iter rounds do
-    not converge — a silently-unstable labeling would mis-assign
-    keepers.
+    Algorithm: min-label propagation PLUS pointer jumping — from round
+    `jump_after` on, each round takes (a) the min over neighbors'
+    labels, then (b) shortcuts through the current label (component :=
+    min(component, label(component))), which halves label-chain length
+    every round. Rounds needed = O(log diameter) instead of
+    O(diameter): a 10^4-node PATH graph converges in ~16 rounds
+    (test-pinned), and clique-like near-dup components still converge
+    in 2-3. The shortcut is deferred (`jump_after`, default 2) because
+    it costs an extra join+shuffle per round and real near-dup graphs
+    are clique-like — they converge before it would ever fire, so the
+    common case pays exactly the plain-propagation price while
+    high-diameter graphs still get the logarithmic bound. Convergence
+    is a counted aggregate, never a label collect. Raises RuntimeError
+    if max_iter rounds do not converge — a silently-unstable labeling
+    would mis-assign keepers.
 
     Fault tolerance: by default each round truncates lineage with
     localCheckpoint, whose blocks live on executors — right for
@@ -206,7 +210,7 @@ def connected_components(
             vertices.select(F.col(id_col).alias("id"))
         ).distinct()
     labels = ckpt(labels.withColumn("component", F.col("id")))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         prop = (
             sym.join(labels, sym["src"] == labels["id"])
             .select(F.col("dst").alias("id"), "component")
@@ -214,20 +218,21 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # pointer jumping: follow the label one hop (component is itself
-        # a vertex id, so its own label exists) and take the min — label
-        # chains collapse by doubling, giving O(log diameter) rounds
-        parent = prop.select(
-            F.col("id").alias("component"), F.col("component").alias("_pcomp")
-        )
-        prop = ckpt(
-            prop.join(parent, "component", "left").select(
+        if i >= jump_after:
+            # pointer jumping: follow the label one hop (component is
+            # itself a vertex id, so its own label exists) and take the
+            # min — label chains collapse by doubling, giving
+            # O(log diameter) rounds on high-diameter graphs
+            parent = prop.select(
+                F.col("id").alias("component"), F.col("component").alias("_pcomp")
+            )
+            prop = prop.join(parent, "component", "left").select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
                 ).alias("component"),
             )
-        )
+        prop = ckpt(prop)
         changed = (
             prop.join(labels.withColumnRenamed("component", "old"), "id")
             .filter(F.col("component") != F.col("old"))

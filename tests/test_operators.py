@@ -772,3 +772,30 @@ def test_insert_batching_one_giant_run_bounded(spark):
         .groupBy("_p").count().agg(F.max("count")).collect()[0][0]
     )
     assert sizes <= 3 * blk  # hash(_blk) collisions may co-locate a few blocks
+
+
+def test_pii_scrub_and_repetition_values(spark):
+    """Hand-written goldens for the two round-4 text ops (the oracle
+    parity alone could hide a doubly-wrong pattern): scrub_pii redacts
+    whole spans in pattern order; repetition_ratio is max token
+    frequency over token count."""
+    from bingo2sql_spark.functions.text import repetition_ratio, scrub_pii
+
+    rows = spark.createDataFrame(
+        [
+            (1, "mail a.b-c+x@sub.ex-mail.org now"),
+            (2, "hosts 10.0.3.77 and 192.168.255.1 up"),
+            (3, "both bob@x.co at 8.8.8.8"),
+            (4, "none here at all"),
+            (5, "spam spam spam ham"),
+            (6, "all distinct tokens here"),
+        ],
+        ["id", "t"],
+    ).select("id", scrub_pii("t").alias("s"), repetition_ratio("t").alias("r"))
+    got = {r["id"]: (r["s"], r["r"]) for r in rows.collect()}
+    assert got[1][0] == "mail <EMAIL> now"
+    assert got[2][0] == "hosts <IP> and <IP> up"
+    assert got[3][0] == "both <EMAIL> at <IP>"
+    assert got[4][0] == "none here at all"
+    assert got[5][1] == 0.75  # 3x spam / 4 tokens
+    assert got[6][1] == 0.25  # all distinct
