@@ -515,6 +515,22 @@ def _q_connected_keepers(spark, sf_dir):
     return DD.keeper_assignment(doubled, pairs)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: eval set = doc_id%97==0; the training
+    side is the remaining docs PLUS exact twins of the eval docs
+    (shifted ids) so contamination provably exists — every twin must be
+    flagged with full shingle overlap, and organic 3-gram collisions
+    surface on top. Broadcast semi-join shape (see dedup.decontaminate)."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0).unionByName(
+        evals.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return DD.decontaminate(train, evals, shingle_n=3)
+
+
 def _q_simhash(spark, sf_dir):
     from bingo2sql_spark.operators import dedup as DD
 
@@ -956,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_connected_keepers": _q_connected_keepers,
         "dedup_simhash": _q_simhash,
+        "curate_decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "text_token_count": _q_text_tokens,
         "text_quality_score": _q_text_quality,
@@ -1354,6 +1371,21 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE round(cast(len(list_intersect(a.sh, b.sh)) AS double)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.05
+"""
+    # decontamination: mirrored shingles; eval shingle set distinct-joined
+    q["curate_decontaminate"] = f"""
+WITH d AS (SELECT doc_id, {_WORDS} AS _w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS sh FROM d),
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id%97=0),
+train AS (
+  SELECT doc_id, sh FROM sh WHERE doc_id%97<>0
+  UNION ALL
+  SELECT doc_id+1000000 AS doc_id, sh FROM sh WHERE doc_id%97=0
+),
+tr AS (SELECT doc_id, unnest(sh) AS s FROM train)
+SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS eval_hits
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id
 """
     # pack_sequences invariants (bin assignment is not SQL; conservation,
     # budget-violation and multi-assignment counters are — see

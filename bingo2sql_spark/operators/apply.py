@@ -720,6 +720,33 @@ class IcebergLiteTable:
             metrics["delta_depth"] = 0
         return metrics
 
+    def commit_with_retry(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        max_retries: int = 5,
+        **kwargs: Any,
+    ) -> dict[str, Any]:
+        """Optimistic-concurrency loop around commit(): on
+        ConcurrentCommitError (another writer won the manifest CAS for
+        this snapshot version), re-read the table and re-merge — commit
+        re-reads the latest manifest on entry, so a plain re-invocation
+        IS the retry (the loser's orphaned snapshot data dir is
+        harmless, same as a crash between data and manifest). LWW
+        convergence makes the outcome order-independent, and the
+        batch-id bookkeeping still dedups a batch the winner already
+        carried. Raises after max_retries consecutive losses."""
+        last: ConcurrentCommitError | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self.commit(batch, batch_id, **kwargs)
+            except ConcurrentCommitError as e:
+                last = e
+        raise ConcurrentCommitError(
+            f"lost the manifest CAS {max_retries + 1} times in a row for "
+            f"batch {batch_id!r} — writer contention too high"
+        ) from last
+
     # -- exactly-once batch-id bookkeeping ------------------------------------
     #
     # An unbounded committed-batch list would grow one entry per micro-

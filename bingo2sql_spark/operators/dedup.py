@@ -262,6 +262,44 @@ def keeper_assignment(
     return cc.select(F.col("id").alias(id_col), F.col("component").alias("keeper_id"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= min_hits
+    distinct word n-gram shingles with an evaluation set (train/test
+    overlap is the classic eval-inflation bug; n-gram overlap against
+    the benchmark is the standard detector).
+
+    Returns (id, eval_hits) for CONTAMINATED docs only — anti-join the
+    result to keep the clean corpus.
+
+    Scale shape: the eval set is benchmark-sized (thousands of docs, not
+    the corpus), so its distinct shingle set is metadata-scale and
+    BROADCAST: the corpus side is one exploded-shingle projection + a
+    broadcast inner join + groupBy(id) — no corpus-sized wide exchange
+    beyond the per-doc hit count, and the corpus is never collected or
+    re-shuffled on content. Shingles are md5 hex (portable to any SQL
+    oracle)."""
+    corpus = _exploded_shingles(docs, text_col, id_col, shingle_n)
+    evals = (
+        _exploded_shingles(eval_docs, text_col, id_col, shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(evals), "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("eval_hits"))
+        .filter(F.col("eval_hits") >= min_hits)
+    )
+    return hits
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
     """SimHash per doc, computed as n_bits conditional sums in one
     codegen groupBy over exploded tokens (same values as

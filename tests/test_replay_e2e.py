@@ -652,6 +652,41 @@ def test_concurrent_commit_detected(spark, small_events, tmp_path):
     assert t.read(spark).count() > 0
 
 
+def test_concurrent_commit_retry_converges(spark, small_events, tmp_path, monkeypatch):
+    """commit_with_retry: when a rival writer wins the manifest CAS
+    between this commit's manifest read and its write, the retry
+    re-reads and re-merges — the final state equals the full in-order
+    replay and the rival's snapshot stays intact. The race is injected
+    deterministically: the first manifest write for the contested
+    version lands a rival manifest first."""
+    from bingo2sql_spark.operators import apply as A
+    from bingo2sql_spark.operators import resolve as R
+
+    t = IcebergLiteTable(str(tmp_path / "ccr"), n_buckets=8)
+    replay(small_events.filter("seq < 800"), t, batch_id="b1")
+    base = dict(t.latest_manifest())
+    orig = A.IcebergLiteTable._write_manifest
+    fired = {"rival": False}
+
+    def raced(self, doc):
+        if not fired["rival"] and doc.get("version") == base["version"] + 1:
+            fired["rival"] = True
+            orig(self, {**base, "version": base["version"] + 1})  # rival lands first
+        return orig(self, doc)
+
+    monkeypatch.setattr(A.IcebergLiteTable, "_write_manifest", raced)
+    b2 = R.to_upsert_rows(R.with_key(small_events.filter("seq >= 800")))
+    m = t.commit_with_retry(b2, "b2")
+    assert fired["rival"] and not m["skipped"]
+    assert m["snapshot"] == base["version"] + 2  # landed after the rival
+    monkeypatch.undo()
+    ref = IcebergLiteTable(str(tmp_path / "ccr_ref"), n_buckets=8)
+    replay(small_events, ref, batch_id="all")
+    assert t.state_checksum(spark) == ref.state_checksum(spark)
+    # retrying the same batch id now dedups (bookkeeping survived)
+    assert t.commit_with_retry(b2, "b2")["skipped"]
+
+
 def test_n_buckets_mismatch_is_loud(spark, small_events, tmp_path):
     """Reopening a table with a different n_buckets would bucket new
     rows differently than stored ones — the same key would occupy TWO

@@ -331,3 +331,28 @@ def test_connected_components_high_diameter_path(spark, tmp_path):
     # refusing to return an unstable labeling is loud
     with pytest.raises(RuntimeError, match="did not converge"):
         DD.connected_components(pairs, max_iter=3)
+
+
+def test_decontaminate_semantics(spark):
+    """Exact eval twins are flagged with the full shingle overlap,
+    clean docs are absent, partial overlap respects min_hits, and the
+    eval shingle set is broadcast (no corpus-wide shuffle join)."""
+    from pyspark.sql import functions as F
+
+    evals = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # exact twin: 3 shingles
+            (11, "x alpha beta gamma y"),             # one shared shingle
+            (12, "totally different words here now"), # clean
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["eval_hits"] for r in DD.decontaminate(train, evals).collect()}
+    assert got == {10: 3, 11: 1}
+    strict = DD.decontaminate(train, evals, min_hits=2)
+    assert {r["doc_id"] for r in strict.collect()} == {10}
+    plan = DD.decontaminate(train, evals)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
