@@ -1,0 +1,122 @@
+"""Watermarked streaming analytics: windowed aggregation and the
+applyInPandasWithState sessionizer — event-time semantics, bounded
+state, and stream==batch convergence on deterministic inputs."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bingo2sql_spark.streaming.analytics import (
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _t(secs: int) -> datetime:
+    return datetime.fromtimestamp(1704067200 + secs, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _land(spark, rows, path, mtime_bump=0):
+    df = spark.createDataFrame(rows, _SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(path + "_stage")
+    os.makedirs(path, exist_ok=True)
+    import shutil
+
+    for f in os.listdir(path + "_stage"):
+        if f.endswith(".parquet"):
+            dst = os.path.join(path, f"{mtime_bump}-{f}")
+            shutil.copy(os.path.join(path + "_stage", f), dst)
+            now = time.time() + mtime_bump
+            os.utime(dst, (now, now))
+
+
+def test_windowed_counts_watermark_append(spark, tmp_path):
+    """Append-mode windowed counts: a window is emitted exactly once
+    after the watermark passes its end, matches the batch groupBy, and
+    a row later than the watermark is DROPPED by the engine."""
+    land = str(tmp_path / "wland")
+    # window 1h, watermark 10m. Batch 1: two busy windows.
+    batch1 = [
+        (1, _t(0), "click"), (2, _t(60), "click"), (3, _t(120), "buy"),
+        (1, _t(3700), "click"), (2, _t(3800), "click"),
+    ]
+    # Batch 2: far-future row advances the watermark past both windows.
+    # Batch 3: settles the advanced watermark (Spark filters a batch's
+    # input against the PREVIOUS batch's watermark — the late/eviction
+    # watermark split — so the advance must be one batch old before a
+    # drop is observable).
+    batch2 = [(9, _t(100000), "click")]
+    batch3 = [(9, _t(100100), "click")]
+    # Batch 4: a LATE row for the long-evicted window 0 — its whole
+    # window is behind even the previous watermark now, so the engine
+    # must DROP it (rows merely later than the watermark but inside a
+    # live window are still accepted — the allowed-lateness contract).
+    batch4 = [(4, _t(130), "click")]
+    _land(spark, batch1, land, mtime_bump=0)
+    _land(spark, batch2, land, mtime_bump=2)
+    _land(spark, batch3, land, mtime_bump=4)
+    _land(spark, batch4, land, mtime_bump=6)
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(land)
+    out = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("wincounts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    # window [0,1h): click=2 (the late 4th click was dropped), buy=1;
+    # window [1h,2h): click=2. The far-future window is NOT emitted
+    # (watermark never passed its end).
+    assert got[(_t(0), "click")] == 2
+    assert got[(_t(0), "buy")] == 1
+    assert got[(_t(3600), "click")] == 2
+    assert len(got) == 3
+
+
+def test_sessionize_stream_event_time_timeouts(spark, tmp_path):
+    """Gap sessions close either by a later event (gap exceeded in-data)
+    or by the EVENT-TIME timeout when the watermark passes last+gap;
+    still-open sessions are not emitted. Mirrors the batch rule
+    (gap > 1800 starts a new session)."""
+    land = str(tmp_path / "sland")
+    batch1 = [
+        (1, _t(0), "e"), (1, _t(10), "e"), (1, _t(2000), "e"),  # 2000-10 > 1800: closes s1
+        (2, _t(0), "e"), (2, _t(5), "e"),
+    ]
+    batch2 = [(99, _t(20000), "e")]  # watermark driver; its own session stays open
+    _land(spark, batch1, land, mtime_bump=0)
+    _land(spark, batch2, land, mtime_bump=2)
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(land)
+    out = sessionize_stream(stream, gap_secs=1800, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions").collect()
+    got = {
+        (r["user_id"], int(r["session_start"].timestamp()) - 1704067200,
+         int(r["session_end"].timestamp()) - 1704067200, r["n_events"])
+        for r in rows
+    }
+    assert (1, 0, 10, 2) in got       # closed by the in-data gap
+    assert (1, 2000, 2000, 1) in got  # closed by event-time timeout
+    assert (2, 0, 5, 2) in got        # closed by event-time timeout
+    assert not any(u == 99 for u, *_ in got)  # still open: not emitted
+    assert len(got) == 3
