@@ -84,6 +84,11 @@ add("join_revenue_by_nation (fact join + broadcast dims)", qs["join_revenue_by_n
 add("curate_corpus (composed curation)", qs["curate_corpus"](spark, sf),
     "Quality/lang/sample gates are pure predicates above the scan; the dedup-keeper "
     "semi-join is the single shuffle.")
+add("curate_decontaminate (train/eval n-gram overlap)", qs["curate_decontaminate"](spark, sf),
+    "The eval shingle set is benchmark-sized and BROADCAST; the corpus side is one "
+    "exploded-shingle projection + broadcast join + per-doc hit count — no "
+    "corpus-sized wide exchange, which is what makes decontamination affordable "
+    "against a 100 TB training corpus.")
 
 out = io.StringIO()
 out.write("""# PLANS — physical-plan audit of the hot paths
