@@ -239,6 +239,34 @@ def test_stream_self_stop_idle_and_max_rows(spark, small_events, tmp_path):
     assert committed >= 100  # batch-granularity overshoot is allowed
 
 
+def test_stream_resume_after_self_stop(spark, small_events, tmp_path):
+    """A tail stopped by a condition is an ORDINARY checkpoint stop:
+    resuming from the same checkpoint (without the cap) drains the rest
+    exactly-once and converges to the full-log state — the stop feature
+    composes with recoverability instead of burning the checkpoint."""
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    _land_sequential(small_events, land, n_files=8)
+    table = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    q = start_ingest(
+        spark, land, table, ckpt,
+        available_now=False, processing_time="1 second",
+        max_files_per_trigger=1, stop_poll_secs=0.3,
+        stop_max_rows=300,
+    )
+    assert q.awaitTermination(180), "did not stop on max rows"
+    mid_rows = sum(
+        m.get("rows_in_batch", 0) for m in read_metrics(table) if not m.get("skipped")
+    )
+    assert 300 <= mid_rows < 1600  # stopped mid-log
+    # resume the SAME checkpoint without the cap: drains the remainder
+    q2 = start_ingest(spark, land, table, ckpt)  # availableNow drain
+    q2.awaitTermination(120)
+    pdf = small_events.select("seq", "op", "before", "after").toPandas()
+    assert table.state_checksum(spark) == oracle.state_checksum(
+        oracle.sequential_apply(pdf)
+    )
+
+
 def test_stream_ingest_raw_jsonl_source(spark, small_events, tmp_path):
     """source_format='raw_jsonl': tail a raw-wire JSON-lines landing
     zone, decode in-stream, converge to the batch-replay state."""
