@@ -36,6 +36,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch space for queries that materialize a table: tmpfs when
+    available — the sandbox's virtual disk stalls on dirty-page flushes
+    (BENCH/run_scaling.py methodology), which would charge disk noise to
+    these queries' timings."""
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _doc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic CDC envelope derived from `documents`: 3 versions
     per doc; op schedule v=0 insert, (doc_id+v)%7==0 delete, else
@@ -307,13 +318,11 @@ def _q_changelog(spark, sf_dir):
     (v0 inserts, then the v1/v2 tail), then changes_between(v1, v2).
     The scan is manifest-pruned to changed buckets and the diff is
     payload-only (no _ingest_seq; identical re-upserts excluded)."""
-    import tempfile
-
     from bingo2sql_spark.operators.apply import IcebergLiteTable
     from bingo2sql_spark.pipeline import replay
 
     env = _doc_events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="bingo2sql_changelog_")
+    tmp = _scratch_dir("bingo2sql_changelog_")
     t = IcebergLiteTable(os.path.join(tmp, "t"), n_buckets=16)
     m1 = replay(env.filter(F.col("seq") < 1000000), t, batch_id="h1")
     m2 = replay(env.filter(F.col("seq") >= 1000000), t, batch_id="h2")
@@ -337,13 +346,11 @@ def _q_minimal_final_state(spark, sf_dir, write_mode="cow"):
     over the mirrored stream. The "mor" variant stores MINIMAL deltas
     (merged _changed_cols metadata) and resolves them with the
     per-column READ-time merge — same oracle by construction."""
-    import tempfile
-
     from bingo2sql_spark.operators.apply import IcebergLiteTable
     from bingo2sql_spark.pipeline import replay
 
     env = _doc_events_minimal(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="bingo2sql_minimal_")
+    tmp = _scratch_dir("bingo2sql_minimal_")
     t = IcebergLiteTable(os.path.join(tmp, "t"), n_buckets=16, write_mode=write_mode)
     replay(env.filter(F.col("seq") < 1000000), t, batch_id="m1", row_image="MINIMAL")
     replay(env.filter(F.col("seq") >= 1000000), t, batch_id="m2", row_image="MINIMAL")
