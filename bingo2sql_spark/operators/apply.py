@@ -720,6 +720,26 @@ class IcebergLiteTable:
             metrics["delta_depth"] = 0
         return metrics
 
+    def rebucket(
+        self, spark: SparkSession, new_path: str, n_buckets: int
+    ) -> "IcebergLiteTable":
+        """The full rewrite the n_buckets guard points at: copy the
+        table's raw state — tombstones, per-row lineage (_ingest_seq /
+        log positions) and all — into a NEW table with a different
+        bucket count. One read + one commit job (the merge re-buckets
+        and re-clusters); LWW seqs carry over, so replays that predate
+        the old head still resolve correctly against the new table.
+        Batch-id bookkeeping intentionally does NOT carry over (ids
+        were scoped to the old table's history); the new table starts
+        a fresh exactly-once ledger."""
+        raw = self._read_raw(spark)
+        batch = raw.select(
+            *[c for c in raw.columns if c not in ("bucket",)]
+        ).withColumnRenamed("_ingest_seq", "_seq")
+        dst = IcebergLiteTable(new_path, n_buckets=n_buckets, write_mode=self.write_mode)
+        dst.commit(batch, batch_id="rebucket-from-source")
+        return dst
+
     def commit_with_retry(
         self,
         batch: DataFrame,

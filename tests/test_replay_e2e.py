@@ -652,6 +652,28 @@ def test_concurrent_commit_detected(spark, small_events, tmp_path):
     assert t.read(spark).count() > 0
 
 
+def test_rebucket_full_rewrite(spark, small_events, tmp_path):
+    """rebucket copies state INCLUDING tombstones and per-row lineage
+    into a table with a different bucket count: live state and head seq
+    match, and a re-delivered OLD batch still cannot resurrect deleted
+    keys (LWW seqs carried over; the exactly-once ledger is fresh by
+    design, so the old batch APPLIES but loses LWW)."""
+    src = IcebergLiteTable(str(tmp_path / "src"), n_buckets=8)
+    replay(small_events, src, batch_id="load")
+    dst = src.rebucket(spark, str(tmp_path / "dst"), n_buckets=32)
+    assert dst.n_buckets == 32 and dst.latest_manifest()["n_buckets"] == 32
+    assert dst.state_checksum(spark) == src.state_checksum(spark)
+    assert dst.head_seq() == src.head_seq()
+    # tombstones survived the rewrite
+    assert dst._read_raw(spark).filter("_deleted").count() > 0
+    # an old batch re-delivered to the NEW table: applied (fresh
+    # ledger), but LWW-by-carried-seq keeps the state identical
+    old = small_events.filter("seq < 400")
+    m = replay(old, dst, batch_id="load")  # same id as src's — new ledger
+    assert not m["skipped"]
+    assert dst.state_checksum(spark) == src.state_checksum(spark)
+
+
 def test_concurrent_commit_retry_converges(spark, small_events, tmp_path, monkeypatch):
     """commit_with_retry: when a rival writer wins the manifest CAS
     between this commit's manifest read and its write, the retry
@@ -746,3 +768,37 @@ def test_rollback_across_mor_compaction(spark, small_events, tmp_path):
         replay(p, full, batch_id=f"f{i}")
     assert not replay(parts[2], t, batch_id="r2")["skipped"]
     assert t.state_checksum(spark) == full.state_checksum(spark)
+
+
+@pytest.mark.parametrize("seed,cut_mod", [(21, 3), (77, 4)])
+def test_write_mode_row_image_matrix_converges(spark, tmp_path, seed, cut_mod):
+    """The full config matrix — {cow, mor} x {FULL, MINIMAL} — over the
+    same randomized stream, split into interleaved batches, converges
+    to ONE sequential-oracle state (LWW order-independence holds in
+    every storage/image combination; MOR additionally through
+    compaction)."""
+    from bingo2sql_spark.sources.synth import generate_events
+
+    full_ev = generate_events(spark, n_keys=120, versions_per_key=8, n_repos=12,
+                              seed=seed)
+    min_ev = generate_events(spark, n_keys=120, versions_per_key=8, n_repos=12,
+                             seed=seed, minimal_image=True)
+    pdf = min_ev.select("seq", "op", "before", "after", "changed_cols").toPandas()
+    expected = oracle.state_checksum(oracle.sequential_apply(pdf))
+    configs = [
+        ("cow", "FULL", full_ev), ("cow", "MINIMAL", min_ev),
+        ("mor", "FULL", full_ev), ("mor", "MINIMAL", min_ev),
+    ]
+    for mode, image, ev in configs:
+        t = IcebergLiteTable(
+            str(tmp_path / f"{mode}_{image}_{seed}"), n_buckets=8, write_mode=mode
+        )
+        # interleaved (non-contiguous) batch split: stresses cross-batch
+        # per-column merges and MOR delta stacking
+        for i in range(cut_mod):
+            replay(ev.filter(f"seq % {cut_mod} = {i}"), t, batch_id=f"p{i}",
+                   row_image=image)
+        assert t.state_checksum(spark) == expected, (mode, image)
+        if mode == "mor":
+            t.compact(spark, drop_tombstones=False)
+            assert t.state_checksum(spark) == expected, (mode, image, "compacted")
