@@ -17,6 +17,8 @@ ints — same statistical behavior, trivially portable to any SQL oracle.
 
 from __future__ import annotations
 
+import uuid as _uuid
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -232,14 +234,23 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
                 ).alias("component"),
             )
-        prop = ckpt(prop)
-        changed = (
-            prop.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .count()
+        # ONE job per round: the changed-label count rides the
+        # checkpoint materialization as an Observation (fires on both
+        # local and reliable checkpoints) instead of a second job that
+        # re-runs the compare join
+        from pyspark.sql import Observation
+
+        prev = labels.select(F.col("id"), F.col("component").alias("_old"))
+        obs = Observation(f"cc-changed-{_uuid.uuid4().hex[:8]}")
+        labels = ckpt(
+            prop.join(prev, "id")
+            .observe(
+                obs,
+                F.sum((F.col("component") != F.col("_old")).cast("long")).alias("changed"),
+            )
+            .select("id", "component")
         )
-        labels = prop
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             return labels.select(F.col("id"), F.col("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
