@@ -120,3 +120,48 @@ def test_sessionize_stream_event_time_timeouts(spark, tmp_path):
     assert (2, 0, 5, 2) in got        # closed by event-time timeout
     assert not any(u == 99 for u, *_ in got)  # still open: not emitted
     assert len(got) == 3
+
+
+def test_sessionize_state_survives_checkpoint_restart(spark, tmp_path):
+    """applyInPandasWithState state recovery: a session left OPEN when
+    the query stops must continue after a restart from the same
+    checkpoint — an event in the resumed run extends it, and the final
+    emission spans the restart boundary (start from phase 1, end from
+    phase 2). Without recovered state the session would emit split."""
+    land = str(tmp_path / "rland")
+    ckpt = str(tmp_path / "rckpt")
+    _land(spark, [(5, _t(0), "e"), (5, _t(10), "e")], land, mtime_bump=0)
+    p1: list = []
+    p2: list = []
+
+    def run(emit_to, max_files=None):
+        # foreachBatch sink — the memory sink cannot recover from a
+        # checkpoint, foreachBatch can
+        reader = spark.readStream.schema(_SCHEMA)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        out = sessionize_stream(
+            reader.parquet(land), gap_secs=1800, watermark="10 minutes"
+        )
+        q = (
+            out.writeStream.foreachBatch(lambda df, eid: emit_to.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run(p1)
+    assert p1 == []  # session still open at shutdown
+
+    # phase 2: extend the session, then advance the watermark far enough
+    # to close it via event-time timeout
+    _land(spark, [(5, _t(50), "e")], land, mtime_bump=2)
+    _land(spark, [(99, _t(50000), "e")], land, mtime_bump=4)
+    run(p2, max_files=1)
+    got = {
+        (r["user_id"], int(r["session_start"].timestamp()) - 1704067200,
+         int(r["session_end"].timestamp()) - 1704067200, r["n_events"])
+        for r in p2
+    }
+    assert (5, 0, 50, 3) in got, got  # spans the restart: state recovered
+    assert not any(u == 99 for u, *_ in got)
