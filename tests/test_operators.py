@@ -799,3 +799,33 @@ def test_pii_scrub_and_repetition_values(spark):
     assert got[4][0] == "none here at all"
     assert got[5][1] == 0.75  # 3x spam / 4 tokens
     assert got[6][1] == 0.25  # all distinct
+
+
+def test_pii_patterns_match_python_re(spark):
+    """The PII regexes must behave identically in Spark (Java regex) and
+    Python re (RE2-compatible subset) — tricky inputs: boundary digits,
+    over-long octet runs, emails with IPs as domains, adjacent spans,
+    unicode neighbors."""
+    import re as _re
+
+    from bingo2sql_spark.functions.text import PII_EMAIL, PII_IPV4, scrub_pii
+
+    cases = [
+        "a@b.co",
+        "x1.2.3.4y",            # \b: digits adjacent to letters
+        "1.2.3.4.5",            # five octets
+        "255.255.255.255 end",
+        "u@1.2.3.4",            # ip-as-domain: NOT an email (no alpha tld)
+        "a.b@c-d.e-f.org!",
+        "mail:a@b.io,c@d.io",   # adjacent spans with separators
+        "v 10.0.0.1/24 cidr",
+        "ümlaut a@b.de ok",
+        "12.34.56.789",         # 3-digit octet (pattern allows; both must agree)
+        "no pii at all",
+        "dots...4.4.4.4...",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], ["i", "t"])
+    got = {r["i"]: r["s"] for r in df.select("i", scrub_pii("t").alias("s")).collect()}
+    for i, s in enumerate(cases):
+        want = _re.sub(PII_IPV4, "<IP>", _re.sub(PII_EMAIL, "<EMAIL>", s))
+        assert got[i] == want, (s, got[i], want)
