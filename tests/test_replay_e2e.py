@@ -802,3 +802,62 @@ def test_write_mode_row_image_matrix_converges(spark, tmp_path, seed, cut_mod):
         if mode == "mor":
             t.compact(spark, drop_tombstones=False)
             assert t.state_checksum(spark) == expected, (mode, image, "compacted")
+
+
+def test_mor_partial_delta_union_metadata_hand_values(spark, tmp_path):
+    """Hand-computed per-column winners through MOR partial deltas: two
+    partial updates of ONE key inside one batch merge into a single
+    delta row whose _changed_cols is the UNION of what they carried;
+    an out-of-order OLDER full insert then fills only the columns no
+    partial writer ever supplied. Exact values, not checksums."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from bingo2sql_spark import schema as S
+
+    img_t = ("struct<repo:string,path:string,commit:string,lang:string,"
+             "content:string,branch:string>")
+
+    def env_row(seq, op, after, changed):
+        return (seq, "bin.1", 4 + seq, "u", seq, datetime(2024, 1, 1), 1,
+                "test", "repo_files", op, None, after, changed, 2)
+
+    # batch A (newer seqs): two PARTIAL updates of the same key
+    a = spark.createDataFrame(
+        [
+            env_row(10, "update", ("r", "p", None, "go", None, None), ["lang"]),
+            env_row(11, "update", ("r", "p", None, None, "body-v11", None), ["content"]),
+        ],
+        S.envelope_schema(),
+    )
+    # batch B (older seq): the original FULL insert
+    b = spark.createDataFrame(
+        [env_row(1, "insert", ("r", "p", "c001", "py", "body-v1", "main"), None)],
+        S.envelope_schema(),
+    )
+    t = IcebergLiteTable(str(tmp_path / "u"), n_buckets=4, write_mode="mor")
+    replay(a, t, batch_id="A", row_image="MINIMAL")
+    # the single delta row carries the UNION of the partial writers
+    raw = spark.read.parquet(
+        *[str(p) for p in (tmp_path / "u" / "data").glob("snap-*/pbucket=*")]
+    )
+    assert raw.count() == 1
+    assert sorted(raw.collect()[0]["_changed_cols"]) == ["content", "lang"]
+    # older full insert commits AFTER: fills only never-written columns
+    replay(b, t, batch_id="B", row_image="MINIMAL")
+    row = t.read(spark).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["commit"], r["lang"], r["content"], r["branch"]) == (
+        "c001",      # only the insert wrote it
+        "go",        # partial writer seq 10 beats insert seq 1
+        "body-v11",  # partial writer seq 11 beats insert seq 1
+        "main",      # only the insert wrote it
+    )
+    # compaction folds to the same values
+    t.compact(spark, drop_tombstones=False)
+    r2 = t.read(spark).collect()[0]
+    assert (r2["commit"], r2["lang"], r2["content"], r2["branch"]) == (
+        "c001", "go", "body-v11", "main"
+    )
