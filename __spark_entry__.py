@@ -522,6 +522,21 @@ def _q_connected_keepers(spark, sf_dir):
     return DD.keeper_assignment(doubled, pairs)
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming <= 1 (exact buckets + one-bit
+    flip probes — never all-pairs). Doubled corpus guarantees
+    Hamming-0 twin pairs; 1/5 sample keeps the pair set oracle-sized
+    at 8 bits (twins survive together: 1000000 % 5 == 0)."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    sampled = doubled.filter(F.col("doc_id") % 5 == 0)
+    return DD.simhash_pairs(sampled, n_bits=8, max_bucket_size=10_000)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: eval set = doc_id%97==0; the training
     side is the remaining docs PLUS exact twins of the eval docs
@@ -979,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_connected_keepers": _q_connected_keepers,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "curate_decontaminate": _q_decontaminate,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "text_token_count": _q_text_tokens,
@@ -1366,6 +1382,34 @@ SELECT v AS doc_id, min(l) AS keeper_id FROM reach GROUP BY v
         "SELECT doc_id, "
         + " || ".join(_simhash_bit(j) for j in range(8))
         + f" AS simhash FROM (SELECT doc_id, {_WORDS} AS _w FROM documents)"
+    )
+    # simhash pairs: same signature expr; hamming-1 via one-bit flip
+    # probes (mirrors the operator's probe join — never all-pairs)
+    _flip = (
+        "substr(sig,1,{j}) || (CASE WHEN substr(sig,{j1},1)='1' THEN '0' "
+        "ELSE '1' END) || substr(sig,{j2})"
+    )
+    _flip_union = "\nUNION ALL ".join(
+        f"SELECT doc_id, {_flip.format(j=j, j1=j + 1, j2=j + 2)} AS probe FROM s"
+        for j in range(8)
+    )
+    q["dedup_simhash_pairs"] = (
+        f"""
+WITH dd AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents),
+w AS (SELECT doc_id, {_WORDS} AS _w FROM dd WHERE doc_id % 5 = 0),
+s AS (SELECT doc_id, """
+        + " || ".join(_simhash_bit(j) for j in range(8))
+        + f""" AS sig FROM w),
+h0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+       FROM s a JOIN s b ON a.sig = b.sig AND a.doc_id < b.doc_id),
+f AS ({_flip_union}),
+h1 AS (SELECT DISTINCT f.doc_id AS id_a, e.doc_id AS id_b, 1 AS hamming
+       FROM f JOIN s e ON f.probe = e.sig WHERE f.doc_id < e.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM h0
+UNION ALL
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM h1
+"""
     )
     q["dedup_ngram_jaccard"] = f"""
 WITH dd AS (SELECT doc_id, lang, text FROM documents

@@ -328,6 +328,73 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return agged.select(F.col(id_col), F.concat(*bits).alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    max_hamming: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash signature adjacency:
+    (id_a, id_b, hamming) for pairs at Hamming distance 0 (identical
+    signature) or 1 (one flipped bit), the classic simhash dedup radius.
+
+    Scale shape — NEVER all-pairs: each doc emits its signature plus
+    n_bits one-bit-flip PROBE signatures; probes equi-join against the
+    exact signature buckets, so the only wide exchanges are the
+    signature groupBy and the probe join (both hash joins on the
+    signature string). `max_bucket_size` drops degenerate buckets
+    (boilerplate corpora collapse to one signature) exactly like the
+    MinHash-LSH cap. Pair direction is id_a < id_b; Hamming-1 pairs
+    are found from either side's flip and deduped."""
+    if max_hamming not in (0, 1):
+        raise ValueError("simhash_pairs supports max_hamming of 0 or 1")
+    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits)
+    if max_bucket_size is not None:
+        big = (
+            sig.groupBy("simhash").count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("simhash")
+        )
+        sig = sig.join(big, "simhash", "left_anti")
+    exact = sig.select(F.col(id_col).alias("_id"), F.col("simhash").alias("_sig"))
+    # hamming-0: pairs within one exact bucket
+    a, b = exact.alias("a"), exact.alias("b")
+    h0 = (
+        a.join(b, (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    out = h0
+    if max_hamming >= 1:
+        flips = [
+            F.concat(
+                F.substring("_sig", 1, j),
+                F.when(F.substring("_sig", j + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring("_sig", j + 2, n_bits - j - 1),
+            )
+            for j in range(n_bits)
+        ]
+        probes = exact.select(
+            "_id", F.explode(F.array(*flips)).alias("_probe")
+        )
+        h1 = (
+            probes.alias("p")
+            .join(exact.alias("e"), F.col("p._probe") == F.col("e._sig"))
+            .filter(F.col("p._id") < F.col("e._id"))
+            .select(
+                F.col("p._id").alias("id_a"), F.col("e._id").alias("id_b"),
+                F.lit(1).alias("hamming"),
+            )
+            .distinct()  # found from both sides' flips
+        )
+        out = h0.unionByName(h1)
+    return out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -394,3 +394,41 @@ def test_ivf_trained_centroids_recall(spark, embeddings):
     b = sorted(map(tuple, SIM.ivf_topk(embeddings, queries, k=5, n_probe=2,
                                        centroids=cents).collect()))
     assert a == b
+
+
+def test_simhash_pairs_semantics(spark):
+    """Hand goldens: identical docs pair at hamming 0; a one-bit
+    signature neighbor pairs at hamming 1; distant docs do not pair;
+    the bucket cap drops degenerate signature buckets."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),          # identical -> h0 with 1
+            (3, "alpha beta gamma delta epsilon"),  # near -> maybe h<=1
+            (4, "totally unrelated words entirely xyz qqq"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = DD.simhash_pairs(docs, n_bits=16)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert rows.get((1, 2)) == 0
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs, n_bits=16).collect()}
+    def ham(a, b):
+        return sum(x != y for x, y in zip(sigs[a], sigs[b]))
+    # every emitted pair's hamming matches the true signature distance,
+    # and every true pair at distance <= 1 was emitted
+    for (x, y), h in rows.items():
+        assert ham(x, y) == h
+    for x in sigs:
+        for y in sigs:
+            if x < y and ham(x, y) <= 1:
+                assert (x, y) in rows, (x, y, ham(x, y))
+    # cap: all four docs share a bucket only if identical; force a
+    # degenerate bucket with 20 identical docs and cap below it
+    boiler = spark.createDataFrame(
+        [(i, "same same same words") for i in range(20)], ["doc_id", "text"]
+    )
+    capped = DD.simhash_pairs(boiler, n_bits=16, max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = DD.simhash_pairs(boiler, n_bits=16)
+    assert uncapped.filter("hamming = 0").count() == 20 * 19 // 2
