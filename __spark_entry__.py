@@ -526,7 +526,11 @@ def _q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs at Hamming <= 1 (exact buckets + one-bit
     flip probes — never all-pairs). Doubled corpus guarantees
     Hamming-0 twin pairs; 1/5 sample keeps the pair set oracle-sized
-    at 8 bits (twins survive together: 1000000 % 5 == 0)."""
+    at 8 bits (twins survive together: 1000000 % 5 == 0). 8 bits is
+    the ORACLE-sized config — a production corpus runs 32-64 bits,
+    where signature buckets are sparse and the flip-probe join stays
+    metadata-cheap; max_bucket_size guards the degenerate end either
+    way."""
     from bingo2sql_spark.operators import dedup as DD
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
