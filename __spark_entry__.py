@@ -40,11 +40,17 @@ def _scratch_dir(prefix: str) -> str:
     """Scratch space for queries that materialize a table: tmpfs when
     available — the sandbox's virtual disk stalls on dirty-page flushes
     (BENCH/run_scaling.py methodology), which would charge disk noise to
-    these queries' timings."""
+    these queries' timings. Each dir is removed at interpreter exit (the
+    caller's DataFrame is consumed before then) — without the hook every
+    gate/bench run would leak a table into tmpfs RAM."""
+    import atexit
+    import shutil
     import tempfile
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    atexit.register(shutil.rmtree, d, True)
+    return d
 
 
 def _doc_events(spark: SparkSession, sf_dir: str) -> DataFrame:

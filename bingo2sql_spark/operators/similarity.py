@@ -497,6 +497,9 @@ def train_centroids(
             lambda a, x: a + x * x,
         )
     )
+    # guard the all-zero embedding (failed/empty upstream encode): x/0
+    # yields NULL elements and KMeans.fit dies on the whole job
+    norm = F.greatest(norm, F.lit(1e-12))
     unit = F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm)
     feats = src.select(array_to_vector(unit).alias("_v"))
     model = KMeans(k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="_v").fit(feats)

@@ -62,12 +62,15 @@ def windowed_event_counts(
     )
 
 
-#: sessionize_stream state: the open session per user
+#: sessionize_stream state: ALL not-yet-sealed session intervals per
+#: user (parallel arrays) — a single open interval cannot absorb legal
+#: in-watermark out-of-order events, which may create earlier intervals
+#: or bridge existing ones
 _SESSION_STATE = T.StructType(
     [
-        T.StructField("session_start", T.LongType()),
-        T.StructField("last_ts", T.LongType()),
-        T.StructField("n_events", T.LongType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("lasts", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -89,15 +92,20 @@ def sessionize_stream(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Gap-based sessionization as a CUSTOM STATEFUL OPERATOR
-    (applyInPandasWithState): a session closes when no event arrives
-    within `gap_secs` of the previous one, decided by EVENT time — the
-    session is emitted when the watermark passes last_ts + gap (event-
-    time timeout), so results are deterministic w.r.t. the data, not
-    arrival timing. Late rows behind the watermark are dropped by the
-    engine before the operator sees them.
+    (applyInPandasWithState): events within `gap_secs` of each other
+    belong to one session, decided by EVENT time regardless of arrival
+    order — state holds ALL not-yet-sealed session intervals, so a
+    legal in-watermark out-of-order event can open an earlier interval
+    or BRIDGE two existing ones (a single open-session scalar would
+    mis-split here). A session is emitted exactly when the watermark
+    passes its last_ts + gap: no admissible future event (all have
+    ts >= watermark) can extend or bridge it anymore. Late rows behind
+    the watermark are dropped by the engine before the operator sees
+    them.
 
     Equivalent batch definition: __spark_entry__._q_sessionize (gap >
-    gap_secs starts a new session) — the tests pin stream == batch."""
+    gap_secs starts a new session) — the tests pin stream == batch,
+    including out-of-order delivery."""
 
     def fn(
         key: tuple,
@@ -105,45 +113,51 @@ def sessionize_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user,) = key
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user],
-                    "session_start": [pd.Timestamp(start, unit="s")],
-                    "session_end": [pd.Timestamp(last, unit="s")],
-                    "n_events": [n],
-                }
-            )
-            return
-        rows = pd.concat(list(pdfs))
-        ts = rows[ts_col].astype("int64") // 1_000_000_000  # epoch secs
-        ts = ts.sort_values()
-        out = []
+        wm = state.getCurrentWatermarkMs() // 1000
+        sessions: list[tuple[int, int, int]] = []
         if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = None, None, 0
-        for t in ts:
-            t = int(t)
-            if last is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_secs:
-                out.append((user, start, last, n))  # closed by a later event
-                start, last, n = t, t, 1
-            else:
-                last, n = t, n + 1
-        state.update((int(start), int(last), int(n)))
-        # close the open session once the WATERMARK passes last + gap
-        state.setTimeoutTimestamp((int(last) + gap_secs) * 1000)
-        if out:
+            starts, lasts, ns = state.get
+            sessions = list(zip(starts, lasts, ns))
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs))
+            ts = rows[ts_col].astype("int64") // 1_000_000_000  # epoch secs
+            sessions.extend((int(t), int(t), 1) for t in ts)
+            sessions.sort()
+            merged: list[tuple[int, int, int]] = []
+            for s, e, n in sessions:
+                if merged and s - merged[-1][1] <= gap_secs:
+                    ps, pe, pn = merged[-1]
+                    merged[-1] = (ps, max(pe, e), pn + n)
+                else:
+                    merged.append((s, e, n))
+            sessions = merged
+        sealed = [x for x in sessions if x[1] + gap_secs < wm]
+        open_ = [x for x in sessions if x[1] + gap_secs >= wm]
+        if open_:
+            state.update(
+                (
+                    [s for s, _, _ in open_],
+                    [e for _, e, _ in open_],
+                    [n for *_, n in open_],
+                )
+            )
+            # must be strictly beyond the current watermark or Spark
+            # rejects the timeout (equality can occur at the seal edge)
+            state.setTimeoutTimestamp(
+                max(
+                    (min(e for _, e, _ in open_) + gap_secs) * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        elif state.exists:
+            state.remove()
+        if sealed:
             yield pd.DataFrame(
                 {
-                    "user_id": [u for u, *_ in out],
-                    "session_start": [pd.Timestamp(s, unit="s") for _, s, _, _ in out],
-                    "session_end": [pd.Timestamp(e, unit="s") for _, _, e, _ in out],
-                    "n_events": [c for *_, c in out],
+                    "user_id": [user] * len(sealed),
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in sealed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in sealed],
+                    "n_events": [n for *_, n in sealed],
                 }
             )
 

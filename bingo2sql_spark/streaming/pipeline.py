@@ -89,8 +89,11 @@ def start_ingest(
     - `stop_max_rows`: cumulative committed change rows reached the cap
       (batch granularity: the final batch may overshoot, exactly like
       the reference which stops after the row that crosses the line).
-    - `stop_idle_secs`: no new micro-batch for that long after the
-      first one (the reference's 10 s-idle exit).
+    - `stop_idle_secs`: no DATA for that long, measured from query
+      start or the last data-bearing micro-batch (the reference's
+      10 s-idle exit; an all-quiet source exits too). Size it to cover
+      first-batch warmup — a slow first batch that exceeds it is
+      cancelled as idle.
 
     The gates ride one narrow (header-columns-only) aggregate per
     micro-batch inside foreachBatch — `observe()` metrics do not
@@ -176,16 +179,28 @@ def start_ingest(
 
     import time as _time
 
+    # parse stop_time BEFORE the query starts: a bad value must raise
+    # here, not from the monitor thread after an unmonitored query is
+    # already running. Accept the same formats filters.time_range's
+    # to_timestamp takes (date-only included).
+    stop_time_s = _parse_stop_time(stop_time) if want_monitor else None
+
     gate_state: dict[str, Any] = {
-        "rows": 0, "max_ts": None, "gno": {}, "last_data": None, "batches": 0,
+        # idle countdown arms at query start: a source that never
+        # produces a batch (empty landing dir) must still idle-stop —
+        # size stop_idle_secs to cover first-batch warmup
+        "rows": 0, "max_ts": None, "gno": {}, "last_data": _time.time(),
+        "batches": 0,
     }
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if want_monitor and gate_state.get("stop_requested"):
-            # stop is imminent — skip the batch so query.stop() has no
-            # in-flight job to cancel (the un-committed batch re-delivers
-            # if the same checkpoint is ever resumed)
-            return
+        # NOTE: once foreachBatch RETURNS, Spark acknowledges the epoch in
+        # the checkpoint — an early "skip" here would mark unprocessed
+        # events as committed and lose them on resume. So a batch that
+        # races the stop is processed normally: if query.stop() cancels it
+        # mid-flight the epoch is NOT acknowledged and re-delivers on
+        # resume; if it completes, the data is durable. Either way no row
+        # is lost.
         g = None
         if want_monitor:
             # narrow gate aggregate on the PRE-filter batch (header
@@ -222,8 +237,7 @@ def start_ingest(
                     v = g[f"gno_{i}"]
                     if v is not None:
                         gate_state["gno"][i] = max(gate_state["gno"].get(i, int(v)), int(v))
-            elif gate_state["last_data"] is None:
-                gate_state["last_data"] = _time.time()
+            # (an empty batch does NOT refresh the idle clock)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -240,7 +254,7 @@ def start_ingest(
             q,
             metrics_path=metrics_path,
             gate_state=gate_state,
-            stop_time=stop_time,
+            stop_time_s=stop_time_s,
             stop_max_rows=stop_max_rows,
             stop_idle_secs=stop_idle_secs,
             gtid_ranges=gtid_ranges,
@@ -249,12 +263,35 @@ def start_ingest(
     return q
 
 
+def _parse_stop_time(stop_time: Any) -> float | None:
+    """Epoch seconds for the stop-time gate; accepts 'YYYY-MM-DD[ HH:MM:SS]'
+    (the formats the F1 filter's to_timestamp accepts). Raises ValueError
+    on anything else — before the query starts."""
+    if stop_time is None:
+        return None
+    from datetime import datetime, timezone
+
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return (
+                datetime.strptime(str(stop_time), fmt)
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+        except ValueError:
+            continue
+    raise ValueError(
+        f"stop_time {stop_time!r} is not 'YYYY-MM-DD[ HH:MM:SS]' — the "
+        "stop-condition monitor needs an exact boundary"
+    )
+
+
 def _watch_stop_conditions(
     q: StreamingQuery,
     *,
     metrics_path: str,
     gate_state: dict[str, Any],
-    stop_time: str | None,
+    stop_time_s: float | None,
     stop_max_rows: int | None,
     stop_idle_secs: float | None,
     gtid_ranges: list,
@@ -266,15 +303,6 @@ def _watch_stop_conditions(
     foreachBatch — calling it inside the batch deadlocks."""
     import threading
     import time as _time
-    from datetime import datetime, timezone
-
-    stop_time_s = None
-    if stop_time is not None:
-        stop_time_s = (
-            datetime.strptime(stop_time, "%Y-%m-%d %H:%M:%S")
-            .replace(tzinfo=timezone.utc)
-            .timestamp()
-        )
 
     def watch() -> None:
         reason = None
@@ -293,15 +321,15 @@ def _watch_stop_conditions(
                 reason = "gtid_exhausted"
             elif (
                 stop_idle_secs is not None
-                and last_data is not None  # countdown starts at first batch
                 and (_time.time() - last_data) >= stop_idle_secs
             ):
+                # armed at query start, so an all-quiet source (no batch
+                # ever runs) still exits like the reference's idle stop
                 reason = "idle"
         if reason is not None:
-            # record intent FIRST: process_batch skips further batches,
-            # and the reason survives even if stop() throws (a cancelled
-            # in-flight job surfaces as an exception on some paths)
-            gate_state["stop_requested"] = reason
+            # record the reason BEFORE stopping: it survives even if
+            # stop() throws (a cancelled in-flight job surfaces as an
+            # exception on some paths)
             with open(metrics_path, "a") as f:
                 f.write(json.dumps({"stop_reason": reason}) + "\n")
             try:

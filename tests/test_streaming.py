@@ -212,7 +212,7 @@ def test_stream_self_stop_idle_and_max_rows(spark, small_events, tmp_path):
     q = start_ingest(
         spark, land, table, ckpt,
         available_now=False, processing_time="1 second",
-        stop_poll_secs=0.3, stop_idle_secs=6,
+        stop_poll_secs=0.3, stop_idle_secs=15,
     )
     assert q.awaitTermination(180), "query did not self-stop on idle"
     reasons = [m["stop_reason"] for m in read_metrics(table) if "stop_reason" in m]
@@ -324,7 +324,7 @@ def test_stream_ingest_raw_socket_source(spark, small_events, tmp_path):
             spark, f"127.0.0.1:{port}", table, str(tmp_path / "ckpt_sock"),
             source_format="raw_socket",
             available_now=False, processing_time="1 second",
-            stop_poll_secs=0.3, stop_idle_secs=6,
+            stop_poll_secs=0.3, stop_idle_secs=15,
             tables=["repo_files"],
         )
         assert q.awaitTermination(180), "socket tail did not idle-stop"
@@ -394,3 +394,21 @@ def test_stream_ingest_mor_table(spark, small_events, tmp_path):
     assert table.state_checksum(spark) == oracle.state_checksum(
         oracle.sequential_apply(pdf)
     )
+
+
+def test_stream_idle_stop_on_empty_source(spark, small_events, tmp_path):
+    """An all-quiet source (no batch ever runs) still idle-stops: the
+    countdown arms at query start (the reference exits on idle even
+    before any event arrives)."""
+    land = str(tmp_path / "empty_land")
+    os.makedirs(land, exist_ok=True)
+    table = IcebergLiteTable(str(tmp_path / "t_empty"), n_buckets=8)
+    q = start_ingest(
+        spark, land, table, str(tmp_path / "ckpt_empty"),
+        available_now=False, processing_time="1 second",
+        stop_poll_secs=0.3, stop_idle_secs=5,
+    )
+    assert q.awaitTermination(120), "empty source did not idle-stop"
+    reasons = [m["stop_reason"] for m in read_metrics(table) if "stop_reason" in m]
+    assert reasons == ["idle"]
+    assert table.latest_manifest() is None  # nothing committed

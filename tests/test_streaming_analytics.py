@@ -165,3 +165,38 @@ def test_sessionize_state_survives_checkpoint_restart(spark, tmp_path):
     }
     assert (5, 0, 50, 3) in got, got  # spans the restart: state recovered
     assert not any(u == 99 for u, *_ in got)
+
+
+def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """Legal in-watermark out-of-order delivery must not corrupt
+    sessions: a late-arriving EARLIER event forms its own earlier
+    session (not a backwards 'extension' of the open one), and a
+    late-arriving MIDDLE event BRIDGES two stored intervals into one —
+    both matching the batch gap rule on the same event set."""
+    land = str(tmp_path / "oland")
+    # user 7: in-order 3600; late 600 arrives after; then 4200
+    # batch rule on {600, 3600, 4200}: gap 3000 > 1800 -> {600} | {3600,4200}
+    _land(spark, [(7, _t(3600), "e")], land, mtime_bump=0)
+    _land(spark, [(7, _t(600), "e"), (7, _t(4200), "e")], land, mtime_bump=2)
+    # user 8: intervals at 0 and 3000 (separate), then 1600 BRIDGES them
+    _land(spark, [(8, _t(0), "e"), (8, _t(3000), "e")], land, mtime_bump=4)
+    _land(spark, [(8, _t(1600), "e")], land, mtime_bump=6)
+    # watermark driver seals everything
+    _land(spark, [(99, _t(90000), "e")], land, mtime_bump=8)
+    stream = spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).parquet(land)
+    out = sessionize_stream(stream, gap_secs=1800, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("ooo_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], int(r["session_start"].timestamp()) - 1704067200,
+         int(r["session_end"].timestamp()) - 1704067200, r["n_events"])
+        for r in spark.sql("select * from ooo_sessions").collect()
+    }
+    assert (7, 600, 600, 1) in got, got       # late earlier event: own session
+    assert (7, 3600, 4200, 2) in got, got     # open session unharmed
+    assert (8, 0, 3000, 3) in got, got        # middle event bridged the two
+    assert not any(u == 99 for u, *_ in got)
+    assert len(got) == 3
