@@ -529,22 +529,29 @@ def _q_connected_keepers(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs at Hamming <= 1 (exact buckets + one-bit
-    flip probes — never all-pairs). Doubled corpus guarantees
-    Hamming-0 twin pairs; 1/5 sample keeps the pair set oracle-sized
-    at 8 bits (twins survive together: 1000000 % 5 == 0). 8 bits is
-    the ORACLE-sized config — a production corpus runs 32-64 bits,
-    where signature buckets are sparse and the flip-probe join stays
-    metadata-cheap; max_bucket_size guards the degenerate end either
-    way."""
+    """SimHash near-dup pairs at the PRODUCTION width: 64-bit
+    signatures in 4x16-bit bands (Manku et al. banded probe tables),
+    exact-Hamming-verified at radius <= 3 — never all-pairs; each doc
+    emits exactly 4 band probes regardless of width (VERDICT r4 #2).
+    Corpus is doubled (exact twins -> guaranteed Hamming-0 pairs) PLUS
+    one-token-appended near-twins (small nonzero Hamming pairs when the
+    append flips <= 3 bits), then 1/5-sampled so the pair set stays
+    oracle-sized; twins survive the sample together (10^6 % 5 == 0)."""
     from bingo2sql_spark.operators import dedup as DD
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = docs.unionByName(
+    tripled = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zqxv")).alias("text"),
+        )
     )
-    sampled = doubled.filter(F.col("doc_id") % 5 == 0)
-    return DD.simhash_pairs(sampled, n_bits=8, max_bucket_size=10_000)
+    sampled = tripled.filter(F.col("doc_id") % 5 == 0)
+    return DD.simhash_pairs_banded(
+        sampled, n_bits=64, bands=4, max_hamming=3, max_bucket_size=10_000
+    )
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -1098,8 +1105,11 @@ _WORDS = "string_split_regex(trim(text), '\\s+')"
 
 
 def _simhash_bit(j: int) -> str:
+    # bit j: hex char j%32 of md5(token) for j<32, of md5('<j//32>:'||token)
+    # beyond (md5 has 32 hex chars) — mirrors dedup.simhash_signatures
+    src = "t" if j < 32 else f"'{j // 32}:' || t"
     return (
-        f"(CASE WHEN list_sum(list_transform(_w, t -> (ascii(substr(md5(t), {j + 1}, 1))%2)*2-1)) > 0 "
+        f"(CASE WHEN list_sum(list_transform(_w, t -> (ascii(substr(md5({src}), {j % 32 + 1}, 1))%2)*2-1)) > 0 "
         f"THEN '1' ELSE '0' END)"
     )
 
@@ -1393,32 +1403,35 @@ SELECT v AS doc_id, min(l) AS keeper_id FROM reach GROUP BY v
         + " || ".join(_simhash_bit(j) for j in range(8))
         + f" AS simhash FROM (SELECT doc_id, {_WORDS} AS _w FROM documents)"
     )
-    # simhash pairs: same signature expr; hamming-1 via one-bit flip
-    # probes (mirrors the operator's probe join — never all-pairs)
-    _flip = (
-        "substr(sig,1,{j}) || (CASE WHEN substr(sig,{j1},1)='1' THEN '0' "
-        "ELSE '1' END) || substr(sig,{j2})"
+    # simhash pairs (64-bit banded, VERDICT r4 #2): 4x16-bit band
+    # buckets generate candidates (pigeonhole: hamming<=3 pairs share a
+    # band), exact 64-position hamming verifies — mirrors
+    # dedup.simhash_pairs_banded, never all-pairs
+    _band_union = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(sig, {b * 16 + 1}, 16) AS bits FROM s"
+        for b in range(4)
     )
-    _flip_union = "\nUNION ALL ".join(
-        f"SELECT doc_id, {_flip.format(j=j, j1=j + 1, j2=j + 2)} AS probe FROM s"
-        for j in range(8)
+    _hamm64 = " + ".join(
+        f"(CASE WHEN substr(sa.sig,{j + 1},1) <> substr(sb.sig,{j + 1},1) THEN 1 ELSE 0 END)"
+        for j in range(64)
     )
     q["dedup_simhash_pairs"] = (
         f"""
 WITH dd AS (SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 1000000, text FROM documents),
+            UNION ALL SELECT doc_id + 1000000, text FROM documents
+            UNION ALL SELECT doc_id + 2000000, text || ' zqxv' FROM documents),
 w AS (SELECT doc_id, {_WORDS} AS _w FROM dd WHERE doc_id % 5 = 0),
 s AS (SELECT doc_id, """
-        + " || ".join(_simhash_bit(j) for j in range(8))
+        + " || ".join(_simhash_bit(j) for j in range(64))
         + f""" AS sig FROM w),
-h0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
-       FROM s a JOIN s b ON a.sig = b.sig AND a.doc_id < b.doc_id),
-f AS ({_flip_union}),
-h1 AS (SELECT DISTINCT f.doc_id AS id_a, e.doc_id AS id_b, 1 AS hamming
-       FROM f JOIN s e ON f.probe = e.sig WHERE f.doc_id < e.doc_id)
-SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM h0
-UNION ALL
-SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM h1
+bd AS ({_band_union}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bd a JOIN bd b
+           ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id),
+h AS (SELECT cand.id_a, cand.id_b, {_hamm64} AS hamming
+      FROM cand JOIN s sa ON sa.doc_id = cand.id_a
+                JOIN s sb ON sb.doc_id = cand.id_b)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM h WHERE hamming <= 3
 """
     )
     q["dedup_ngram_jaccard"] = f"""
@@ -1485,9 +1498,11 @@ FROM s
     q["text_repetition_ratio"] = f"""
 WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents)
 SELECT doc_id,
-       round(CAST(list_max(list_transform(list_distinct(toks),
-                                          w -> len(list_filter(toks, x -> x = w)))) AS double)
-             / len(toks), 4) AS rep_ratio
+       CASE WHEN len(toks) > 0 THEN
+         round(CAST(list_max(list_transform(list_distinct(toks),
+                                            w -> len(list_filter(toks, x -> x = w)))) AS double)
+               / len(toks), 4)
+       END AS rep_ratio
 FROM t
 """
     q["text_token_count"] = f"""

@@ -146,20 +146,32 @@ def repetition_ratio(text: Column | str) -> Column:
     t = tokens(text)
     d = F.array_distinct(t)
     counts = F.transform(d, lambda w: F.size(F.filter(t, lambda x: x == w)))
-    return F.round(F.array_max(counts).cast("double") / F.size(t), 4)
+    # empty-doc guard (ADVICE r4): size 0 would divide by zero, whose
+    # result differs between Spark (non-ANSI NULL) and ANSI engines —
+    # pin the edge case to an explicit NULL in both
+    return F.when(
+        F.size(t) > 0, F.round(F.array_max(counts).cast("double") / F.size(t), 4)
+    )
 
 
 def simhash_bits(text: Column | str, n_bits: int = 16) -> Column:
     """SimHash over whitespace tokens, emitted as an n_bits 0/1 string.
 
-    Bit j of a token's hash = parity of hex char j of md5(token) —
-    deterministic and computable in any SQL engine (ascii(substr(..)))."""
+    Bit j of a token's hash = parity of hex char j%32 of md5(token)
+    for j < 32, of md5('<j//32>:' || token) beyond (md5 yields only 32
+    hex chars) — deterministic and computable in any SQL engine
+    (ascii(substr(..))). Same values as operators.dedup.
+    simhash_signatures at every width."""
     t = tokens(text)
 
     def mk(j: int):
         # closure factory: a default-arg capture would change arity and
         # break higher-order-function resolution
-        return lambda acc, x: acc + (F.ascii(F.substring(F.md5(x), j + 1, 1)) % 2) * 2 - 1
+        def step(acc, x):
+            src = x if j < 32 else F.concat(F.lit(f"{j // 32}:"), x)
+            return acc + (F.ascii(F.substring(F.md5(src), j % 32 + 1, 1)) % 2) * 2 - 1
+
+        return step
 
     bits = []
     for j in range(n_bits):

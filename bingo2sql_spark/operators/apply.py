@@ -127,7 +127,21 @@ def _per_key_winners(
     any non-delete contributor was a full image, else the sorted union
     of the contributors' changed sets. Required when the output is
     stored as a MOR delta — the delta row is itself re-merged at read
-    time and must still say which columns it actually carries."""
+    time and must still say which columns it actually carries.
+
+    MINIMAL-image convergence contract (ADVICE r4): the collapse stores
+    one row-level `_ingest_seq` (the row max) for the union of
+    `_changed_cols`, so a column written by an OLDER contributor
+    inherits the newest contributor's seq once persisted (both in COW
+    partial state and in MOR partial deltas — the modes agree). Final
+    state is therefore guaranteed order-independent only when each
+    key's events arrive in seq order ACROSS commits (the normal binlog
+    tail: commits partition the stream in order). An ad-hoc MINIMAL
+    replay whose seqs interleave an already-committed range can lose a
+    per-column LWW race it should win; replay such ranges as FULL
+    images, or replay the whole range from the checkpoint (both exact).
+    Within a single commit the per-column max(struct(seq, v)) is exact
+    for any input order."""
     data_cols = [c for c in all_cols if c not in S.MERGE_KEYS]
     if not partial:
         winner = F.max_by(
@@ -399,7 +413,14 @@ class IcebergLiteTable:
         LEFT SEMI join (no shuffle of the table side)."""
         if not keys:
             return self.read(spark, buckets=[])
-        kdf = spark.createDataFrame(keys, list(S.MERGE_KEYS))
+        # cast probe columns to the stored merge-key type (string) before
+        # hashing (ADVICE r4): createDataFrame infers types from the
+        # tuples, and xxhash64 over e.g. a long differs from the hash of
+        # its string form — the bucket computation and the semi-join
+        # would silently return no rows instead of erroring.
+        kdf = spark.createDataFrame(keys, list(S.MERGE_KEYS)).select(
+            *[F.col(k).cast("string").alias(k) for k in S.MERGE_KEYS]
+        )
         bks = sorted(
             r["b"]
             for r in kdf.select(bucket_col(self.n_buckets).alias("b")).distinct().collect()

@@ -119,7 +119,15 @@ def start_ingest(
         from bingo2sql_spark.sources.decode import decode_events
         from bingo2sql_spark.sources.layout import stream_raw_socket
 
-        host, _, port = events_dir.rpartition(":")
+        # validate the host:port shape up front (ADVICE r4): rpartition
+        # on a colon-less string yields host='' and a bare int() error
+        # only after the other args were already accepted
+        host, sep, port = events_dir.rpartition(":")
+        if not sep or not host or not port.isdigit():
+            raise ValueError(
+                f"source_format='raw_socket' needs events_dir as 'host:port', "
+                f"got {events_dir!r}"
+            )
         stream = decode_events(
             stream_raw_socket(spark, host, int(port)), schema_ver=schema_ver
         )
@@ -183,7 +191,7 @@ def start_ingest(
     # here, not from the monitor thread after an unmonitored query is
     # already running. Accept the same formats filters.time_range's
     # to_timestamp takes (date-only included).
-    stop_time_s = _parse_stop_time(stop_time) if want_monitor else None
+    stop_time_s = _parse_stop_time(spark, stop_time) if want_monitor else None
 
     gate_state: dict[str, Any] = {
         # idle countdown arms at query start: a source that never
@@ -263,27 +271,28 @@ def start_ingest(
     return q
 
 
-def _parse_stop_time(stop_time: Any) -> float | None:
-    """Epoch seconds for the stop-time gate; accepts 'YYYY-MM-DD[ HH:MM:SS]'
-    (the formats the F1 filter's to_timestamp accepts). Raises ValueError
-    on anything else — before the query starts."""
+def _parse_stop_time(spark: SparkSession, stop_time: Any) -> float | None:
+    """Epoch seconds for the stop-time gate, derived via the SESSION's
+    own to_timestamp (ADVICE r4): the F1 filter evaluates to_timestamp
+    in spark.sql.session.timeZone, so the monitor boundary must use the
+    identical conversion — a driver-side UTC strptime would stop the
+    tail up to a tz-offset early/late in non-UTC sessions, silently
+    dropping in-window rows. One metadata-scale local job; raises
+    ValueError on unparsable values — before the query starts."""
     if stop_time is None:
         return None
-    from datetime import datetime, timezone
-
-    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-        try:
-            return (
-                datetime.strptime(str(stop_time), fmt)
-                .replace(tzinfo=timezone.utc)
-                .timestamp()
-            )
-        except ValueError:
-            continue
-    raise ValueError(
-        f"stop_time {stop_time!r} is not 'YYYY-MM-DD[ HH:MM:SS]' — the "
-        "stop-condition monitor needs an exact boundary"
+    row = (
+        spark.range(1)
+        .select(F.unix_seconds(F.to_timestamp(F.lit(str(stop_time)))).alias("s"))
+        .collect()[0]
     )
+    if row["s"] is None:
+        raise ValueError(
+            f"stop_time {stop_time!r} is not a to_timestamp-parsable boundary "
+            "('YYYY-MM-DD[ HH:MM:SS]') — the stop-condition monitor needs an "
+            "exact one"
+        )
+    return float(row["s"])
 
 
 def _watch_stop_conditions(

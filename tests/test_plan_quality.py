@@ -229,3 +229,53 @@ def test_decorate_window_is_partitioned(spark, small_events):
     # aggregate (max_by carry), never above the full-width stream
     for frag in plan.split("Exchange SinglePartition")[1:]:
         assert "max_by" in frag or "HashAggregate" in frag
+
+
+def test_degenerate_bucket_caps_default_on(spark):
+    """VERDICT r4 #3: the dedup pair generators must carry their
+    degenerate-bucket cap sub-plan BY DEFAULT — a naive caller at corpus
+    scale must not get the quadratic boilerplate blow-up. The cap shows
+    up as a semi/anti join against the bucket-count aggregate, and the
+    no-silent-caps Observation (CollectMetrics) rides the same subtree."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} delta epsilon zeta eta") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    for df in (
+        DD.minhash_candidate_pairs(docs),
+        DD.simhash_pairs(docs),
+        DD.simhash_pairs_banded(docs),
+        DD.ngram_jaccard_pairs(docs, threshold=0.1),
+    ):
+        plan = _optimized(df)
+        # the cap materializes as a semi join (keep-list) or anti join
+        # (drop-list) against the bucket-count aggregate
+        assert "LeftSemi" in plan or "LeftAnti" in plan, plan
+        assert "count(" in plan, plan
+
+
+def test_cap_drop_is_logged(spark, caplog):
+    """No silent caps: log_dropped=True must log the exact number of
+    groups the cap drops (warning when nonzero), and the default logs
+    the cap's activation."""
+    import logging
+
+    from bingo2sql_spark.operators import dedup as DD
+
+    boiler = spark.createDataFrame(
+        [(i, "same same same words") for i in range(20)], ["doc_id", "text"]
+    )
+    with caplog.at_level(logging.INFO, logger="bingo2sql_spark.dedup"):
+        out = DD.simhash_pairs(boiler, n_bits=16, max_bucket_size=10, log_dropped=True)
+        assert out.count() == 0
+    hits = [r for r in caplog.records if "cap dropped" in r.getMessage()]
+    assert hits and "dropped 1" in hits[0].getMessage(), [
+        r.getMessage() for r in caplog.records
+    ]
+    assert hits[0].levelno == logging.WARNING
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="bingo2sql_spark.dedup"):
+        DD.simhash_pairs(boiler, n_bits=16, max_bucket_size=10)
+    assert any("cap active" in r.getMessage() for r in caplog.records)

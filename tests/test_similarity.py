@@ -432,3 +432,101 @@ def test_simhash_pairs_semantics(spark):
     assert capped.count() == 0
     uncapped = DD.simhash_pairs(boiler, n_bits=16)
     assert uncapped.filter("hamming = 0").count() == 20 * 19 // 2
+
+
+def test_simhash_banded_matches_flip_probe_at_radius_one(spark):
+    """Differential: the banded candidate generator (bands=2, pigeonhole
+    covers hamming<=1) must emit EXACTLY the pair set of the exhaustive
+    one-bit-flip probe path at the same width — both are exact for
+    radius 1, via entirely different probe structures."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=12))) for i in range(60)]
+        + [(100 + i, " ".join(rng.choices(vocab, k=12))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    flip = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.simhash_pairs(docs, n_bits=16, max_hamming=1).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.simhash_pairs_banded(
+            docs, n_bits=16, bands=2, max_hamming=1
+        ).collect()
+    }
+    assert banded == flip
+
+
+def test_simhash_banded_64bit_complete_vs_bruteforce(spark):
+    """Completeness + exactness at the production config (64 bits,
+    4x16-bit bands, radius 3): the banded output must equal the brute
+    all-pairs hamming<=3 set computed from the signatures directly —
+    pigeonhole guarantees no candidate is missed, verification
+    guarantees no false pair survives."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(50)]
+    base = [(i, " ".join(rng.choices(vocab, k=15))) for i in range(25)]
+    # exact twins (hamming 0) + one-token perturbations (small hamming)
+    rows = (
+        base
+        + [(100 + i, t) for i, t in base]
+        + [(200 + i, t + " extraword") for i, t in base[:10]]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in DD.simhash_signatures(docs, n_bits=64).collect()
+    }
+    assert all(len(s) == 64 for s in sigs.values())
+    truth = set()
+    ids = sorted(sigs)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            h = sum(a != b for a, b in zip(sigs[x], sigs[y]))
+            if h <= 3:
+                truth.add((x, y, h))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.simhash_pairs_banded(
+            docs, n_bits=64, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == truth
+    assert any(h == 0 for _, _, h in truth)  # twins made the test non-vacuous
+
+
+def test_simhash_signature_width_extension_is_prefix_stable(spark):
+    """The >32-bit extension (salted second md5) must not change the
+    first 32 bits: a 64-bit signature's prefix == the 32-bit signature."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    s32 = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs, n_bits=32).collect()}
+    s64 = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs, n_bits=64).collect()}
+    for k in s32:
+        assert s64[k][:32] == s32[k]
+    # and the per-row Column variant agrees at 64 bits
+    from bingo2sql_spark.functions import text as TX
+
+    col = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", TX.simhash_bits("text", 64).alias("s")).collect()
+    }
+    assert col == s64
+
+
+def test_simhash_banded_validation(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide evenly"):
+        DD.simhash_pairs_banded(docs, n_bits=64, bands=5)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_pairs_banded(docs, n_bits=64, bands=4, max_hamming=4)
