@@ -37,7 +37,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stop-position", type=int, default=None)
     p.add_argument("--include-gtids", default=None, help="uuid:lo-hi[,...]")
     p.add_argument("-d", "--databases", action="append", default=None)
-    p.add_argument("-t", "--tables", action="append", default=None)
+    p.add_argument(
+        "-t", "--tables", action="append", default=None,
+        help="table-name gate; a single value naming an EXISTING FILE is "
+        "treated as a CREATE TABLE schema file (the reference's local mode "
+        "overloads --tables the same way, core/parser.go:794-815)",
+    )
+    p.add_argument(
+        "--table-schema", default=None,
+        help="CREATE TABLE schema file driving per-table rendering metadata "
+        "(generated-column exclusion, PRI/UNI key selection); the explicit "
+        "spelling of the -t <file> overload",
+    )
     p.add_argument("--sql-type", action="append", default=None,
                    help="insert/update/delete (repeatable)")
     p.add_argument("--threadID", type=int, default=None, dest="thread_id")
@@ -81,6 +92,20 @@ def main(argv: list[str] | None = None) -> int:
     from bingo2sql_spark.api import generate_sql
     from bingo2sql_spark.session import get_spark
 
+    # reference local-mode overload: a lone -t value that names a file is
+    # the schema file, not a table gate (core/parser.go:794-815)
+    import os as _os
+
+    table_schema = args.table_schema
+    tables = args.tables
+    if (
+        table_schema is None
+        and tables
+        and len(tables) == 1
+        and _os.path.isfile(tables[0])
+    ):
+        table_schema, tables = tables[0], None
+
     spark = get_spark("bingo2sql-cli", master=args.master)
     events = _load_events(spark, args)
     generate_sql(
@@ -94,7 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         stop_position=args.stop_position,
         include_gtids=args.include_gtids,
         databases=args.databases,
-        tables=args.tables,
+        tables=tables,
         sql_type=args.sql_type,
         thread_id=args.thread_id,
         max_rows=args.max_rows,
@@ -108,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
         show_all_time=args.show_all_time,
         show_thread=args.show_thread,
         compression=args.compression,
+        table_schema=table_schema,
     )
     print(f"wrote SQL artifact to {args.output}")
     return 0

@@ -63,6 +63,7 @@ def generate_sql(
     show_all_time: bool = False,
     show_thread: bool = False,
     compression: str | None = None,
+    table_schema: str | None = None,
 ) -> None:
     """The reference's parse-to-SQL-file flow, one call: filters push
     into the scan (partition pruning + row-group skipping), rendering is
@@ -72,7 +73,19 @@ def generate_sql(
     `no_primary_key` composes with `flashback` exactly as in the
     reference (RemovePrimary gates generateInsertSql in BOTH modes,
     core/parser.go:1182,1209): a flashback-inverted DELETE renders as an
-    INSERT without the key columns."""
+    INSERT without the key columns.
+
+    `table_schema` is the reference's local-mode schema file (`--tables
+    schema.sql` when no host is given, core/parser.go:794-815): a path
+    to semicolon-separated CREATE TABLE statements; each event then
+    renders with its own table's parsed metadata — generated columns
+    excluded, PRI > UNI key selection — and unregistered tables are
+    skipped (readTableSchema / buildTableInfo parity, see ddl.py)."""
+    registry = None
+    if table_schema is not None:
+        from bingo2sql_spark.ddl import parse_schema_file
+
+        registry = parse_schema_file(table_schema)
     ev = FL.apply_filters(
         events,
         start_time=start_time,
@@ -102,4 +115,5 @@ def generate_sql(
         minimal_insert=minimal_insert,
         no_primary_key=no_primary_key,
         compression=compression,
+        table_registry=registry,
     )

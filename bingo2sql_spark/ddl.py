@@ -1,0 +1,355 @@
+"""CREATE TABLE schema-file resolution (the reference's local mode).
+
+The reference binary, run without a MySQL connection, takes `--tables
+<schema.sql>` — a file of semicolon-separated CREATE TABLE statements —
+and builds its table registry from it (readTableSchema / buildTableInfo
+core/parser.go:2035-2146, exercised by every local-mode test via
+initTableSchema core/parser_test.go:1200-1220). This module is that
+resolver on the Spark engine: a small self-contained MySQL-DDL reader
+producing `schema.TableMeta` records, covering exactly the metadata the
+reference extracts from the parsed AST:
+
+- column names and declared types (InfoSchemaStr analog kept as text),
+- UNSIGNED-ness (drives T7 reinterpretation),
+- PRIMARY KEY / UNIQUE membership, inline or table-level constraints
+  (buildTableInfo's PriKeyFlag/UniqueKeyFlag pass,
+  core/parser.go:2112-2134), with the PRI > UNI > all-columns key
+  precedence of configPrimaryKey (core/parser.go:2211-2237),
+- generated columns, `GENERATED ALWAYS AS (...) [STORED|VIRTUAL]` and
+  the bare `AS (...)` shorthand (ColumnOptionGenerated,
+  core/parser.go:2149-2181) — excluded from emitted SQL (T6).
+
+The reference leans on the TiDB SQL parser; a Spark deployment has no
+such dependency, so this is a purpose-built reader for the CREATE TABLE
+subset those tests use (quotes/backticks respected, comments stripped,
+multi-statement files). Statements other than CREATE TABLE are ignored,
+as in readTableSchema.
+"""
+
+from __future__ import annotations
+
+import re
+
+from bingo2sql_spark.schema import ColumnMeta, TableMeta
+
+#: words that START a table-level item which is a constraint/index, not
+#: a column definition
+_CONSTRAINT_STARTERS = {
+    "primary",
+    "unique",
+    "key",
+    "index",
+    "constraint",
+    "foreign",
+    "fulltext",
+    "spatial",
+    "check",
+}
+
+
+def strip_comments(sql: str) -> str:
+    """Remove -- / # line comments and /* */ block comments, preserving
+    quoted strings ('…', "…", `…`)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            q = c
+            out.append(c)
+            i += 1
+            while i < n:
+                out.append(sql[i])
+                if sql[i] == "\\" and q != "`" and i + 1 < n:  # backslash escape
+                    i += 1
+                    out.append(sql[i])
+                elif sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:  # doubled quote
+                        i += 1
+                        out.append(sql[i])
+                    else:
+                        i += 1
+                        break
+                i += 1
+            continue
+        if c == "-" and sql[i : i + 2] == "--":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        if c == "#":
+            while i < n and sql[i] != "\n":
+                i += 1
+            continue
+        if c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split on top-level semicolons, respecting quotes (the
+    quotaIsDouble loop of readTableSchema, generalized to all three
+    quote styles)."""
+    sql = strip_comments(sql)
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            q = c
+            buf.append(c)
+            i += 1
+            while i < n:
+                buf.append(sql[i])
+                if sql[i] == "\\" and q != "`" and i + 1 < n:
+                    i += 1
+                    buf.append(sql[i])
+                elif sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:
+                        i += 1
+                        buf.append(sql[i])
+                    else:
+                        i += 1
+                        break
+                i += 1
+            continue
+        if c == ";":
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
+def _split_top_level_commas(body: str) -> list[str]:
+    """Split a CREATE TABLE body at commas outside parens/quotes."""
+    items: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c in ("'", '"', "`"):
+            q = c
+            buf.append(c)
+            i += 1
+            while i < n:
+                buf.append(body[i])
+                if body[i] == "\\" and q != "`" and i + 1 < n:
+                    i += 1
+                    buf.append(body[i])
+                elif body[i] == q:
+                    if i + 1 < n and body[i + 1] == q:
+                        i += 1
+                        buf.append(body[i])
+                    else:
+                        i += 1
+                        break
+                i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            items.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        items.append(tail)
+    return items
+
+
+_IDENT = r"(?:`(?P<bq{tag}>[^`]+)`|(?P<bare{tag}>[A-Za-z_][A-Za-z0-9_$]*))"
+
+
+def _ident(m: re.Match, tag: str) -> str:
+    return m.group(f"bq{tag}") or m.group(f"bare{tag}")
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    + _IDENT.format(tag="a")
+    + r"(?:\s*\.\s*"
+    + _IDENT.format(tag="b")
+    + r")?\s*\(",
+    re.IGNORECASE,
+)
+
+_COL_RE = re.compile(
+    r"^" + _IDENT.format(tag="c") + r"\s+(?P<type>[A-Za-z][A-Za-z0-9_]*)",
+)
+
+_PK_CONSTRAINT_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(?:`[^`]+`|\S+)\s+)?PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)",
+    re.IGNORECASE,
+)
+_UNIQUE_CONSTRAINT_RE = re.compile(
+    r"^(?:CONSTRAINT\s+(?:`[^`]+`|\S+)\s+)?UNIQUE(?:\s+(?:KEY|INDEX))?"
+    r"(?:\s+(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*))?\s*\((?P<cols>[^)]*)\)",
+    re.IGNORECASE,
+)
+
+_GENERATED_RE = re.compile(
+    r"(?:GENERATED\s+ALWAYS\s+)?\bAS\s*\(", re.IGNORECASE
+)
+
+
+def _key_col_names(cols: str) -> list[str]:
+    """Column names from a key list like `a`, b(10) DESC, `c`."""
+    names = []
+    for part in cols.split(","):
+        part = part.strip()
+        m = re.match(_IDENT.format(tag="k"), part)
+        if m:
+            names.append(_ident(m, "k"))
+    return names
+
+
+def _parse_column(item: str) -> ColumnMeta | None:
+    m = _COL_RE.match(item)
+    if not m:
+        return None
+    name = _ident(m, "c")
+    rest = item[m.end() :]
+    # strip the type's parenthesized args so enum('a','b') values or
+    # DECIMAL(10,2) digits never look like options
+    rest_stripped = rest.lstrip()
+    if rest_stripped.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest_stripped):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                rest = rest_stripped[i + 1 :]
+                break
+    # COMMENT '...' text must not trigger keyword detection
+    rest = re.sub(r"COMMENT\s+('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")",
+                  "COMMENT ''", rest, flags=re.IGNORECASE)
+    up = f" {rest.upper()} "
+    generated = _GENERATED_RE.search(rest) is not None
+    return ColumnMeta(
+        name=name,
+        is_key=" PRIMARY KEY " in up or up.rstrip().endswith(" PRIMARY KEY"),
+        unsigned=" UNSIGNED " in up,
+        generated=generated,
+        unique=bool(re.search(r"\bUNIQUE(?:\s+KEY)?\b", up)),
+    )
+
+
+def parse_create_table(stmt: str, default_db: str = "") -> TableMeta | None:
+    """One CREATE TABLE statement -> TableMeta (None if the statement is
+    not a CREATE TABLE — readTableSchema ignores everything else)."""
+    m = _CREATE_RE.match(stmt)
+    if not m:
+        return None
+    first, second = _ident(m, "a"), m.group("bqb") or m.group("bareb")
+    db, table = (first, second) if second else (default_db, first)
+    # body: from the opening paren to its matching close
+    start = m.end() - 1
+    depth = 0
+    end = None
+    i = start
+    n = len(stmt)
+    while i < n:
+        c = stmt[i]
+        if c in ("'", '"', "`"):
+            q = c
+            i += 1
+            while i < n:
+                if stmt[i] == "\\" and q != "`":
+                    i += 1
+                elif stmt[i] == q:
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+        i += 1
+    if end is None:
+        raise ValueError(f"unbalanced parentheses in CREATE TABLE {table}")
+    body = stmt[start + 1 : end]
+
+    cols: list[ColumnMeta] = []
+    pk_cols: set[str] = set()
+    uniq_cols: set[str] = set()
+    for item in _split_top_level_commas(body):
+        word = re.match(r"`?([A-Za-z_][A-Za-z0-9_$]*)`?", item.strip())
+        head = (word.group(1).lower() if word else "") if not item.startswith("`") else ""
+        if head in _CONSTRAINT_STARTERS or item.upper().lstrip().startswith("CONSTRAINT"):
+            pk = _PK_CONSTRAINT_RE.match(item.strip())
+            if pk:
+                pk_cols.update(_key_col_names(pk.group("cols")))
+                continue
+            uq = _UNIQUE_CONSTRAINT_RE.match(item.strip())
+            if uq:
+                uniq_cols.update(_key_col_names(uq.group("cols")))
+                continue
+            continue  # KEY/INDEX/FOREIGN/CHECK: no column metadata
+        c = _parse_column(item)
+        if c is not None:
+            cols.append(c)
+    # fold table-level constraints into the column flags
+    # (buildTableInfo's PriKeyFlag/UniqueKeyFlag pass)
+    cols = [
+        ColumnMeta(
+            name=c.name,
+            is_key=c.is_key or c.name in pk_cols,
+            unsigned=c.unsigned,
+            generated=c.generated,
+            unique=c.unique or c.name in uniq_cols,
+        )
+        for c in cols
+    ]
+    return TableMeta(db=db, table=table, schema_ver=1, columns=cols)
+
+
+def parse_schema_text(sql: str, default_db: str = "") -> dict[str, TableMeta]:
+    """All CREATE TABLE statements in a script -> registry keyed like
+    cacheNewTable (core/parser.go:2094-2108): lowercase 'db.table' when
+    the DDL qualifies the name, lowercase 'table' otherwise."""
+    out: dict[str, TableMeta] = {}
+    for stmt in split_statements(sql):
+        t = parse_create_table(stmt, default_db=default_db)
+        if t is None:
+            continue
+        key = f"{t.db}.{t.table}".lower() if t.db else t.table.lower()
+        out[key] = t
+    return out
+
+
+def parse_schema_file(path: str, default_db: str = "") -> dict[str, TableMeta]:
+    """readTableSchema analog: the file is semicolon-separated CREATE
+    TABLE statements; raises if no table is found (the reference's
+    '未找到建表语句' error, core/parser.go:808-812)."""
+    with open(path) as f:
+        reg = parse_schema_text(f.read(), default_db=default_db)
+    if not reg:
+        raise ValueError(
+            f"no CREATE TABLE statements found in {path} — local-mode schema "
+            "resolution needs the parsed tables' DDL, semicolon-separated"
+        )
+    return reg
+
+
+def lookup(registry: dict[str, TableMeta], db: str, table: str) -> TableMeta | None:
+    """Event -> registry resolution: qualified key first, then the
+    unqualified table name (cacheNewTable stores both views)."""
+    return registry.get(f"{db}.{table}".lower()) or registry.get(table.lower())

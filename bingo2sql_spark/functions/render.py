@@ -20,6 +20,7 @@ renderer emits exactly the reference's rollback statements.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -85,6 +86,7 @@ def render_sql(
     minimal_update: bool = True,
     no_primary_key: bool = False,
     extra_cols: list[str] | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     r"""Envelope -> (seq, sql) rows. Semantics per reference:
 
@@ -101,7 +103,8 @@ def render_sql(
       being silently dropped from the SQL file. DDL is never inverted —
       flashback paths filter it out before rendering."""
     cols = payload_cols or [c for c in S.payload_columns() ]
-    ins_cols = [c for c in cols if not (no_primary_key and c in KEY_COLS)]
+    keys = key_cols or KEY_COLS  # a schema-file registry may override (ddl.py)
+    ins_cols = [c for c in cols if not (no_primary_key and c in keys)]
 
     tbl = _qualified(F.col("db"), F.col("table"))
     col_list = F.lit("(" + ",".join(f"`{c}`" for c in ins_cols) + ")")
@@ -110,7 +113,7 @@ def render_sql(
         F.lit("INSERT INTO "), tbl, col_list, F.lit(" VALUES("), values, F.lit(");")
     )
 
-    where = F.concat_ws(" AND ", *[_where_eq("before", k) for k in KEY_COLS])
+    where = F.concat_ws(" AND ", *[_where_eq("before", k) for k in keys])
     delete_sql = F.concat(F.lit("DELETE FROM "), tbl, F.lit(" WHERE "), where, F.lit(";"))
 
     def set_frag(c: str) -> Column:
@@ -273,6 +276,54 @@ def decorate(
     return out.drop("_g", "_s", "_blk", "_rn", "_lag_g", "_lag_s", "_prev")
 
 
+def _render_with_registry(ev: DataFrame, registry: dict, render_one) -> DataFrame:
+    """Per-table rendering under a schema-file registry (ddl.py): one
+    render branch per registered table, each with that table's
+    valid_columns (generated excluded, T6) and key_columns (PRI > UNI,
+    T9), unioned back into one seq-ordered stream — the Spark shape of
+    the reference's per-TableID metadata lookup (tableCacheList,
+    core/parser.go:2094-2108). Registry size is a handful of tables
+    (metadata-scale); each branch's (db, table) filter pushes into the
+    shared scan.
+
+    A registered column missing from the stream's payload struct fails
+    LOUDLY — silently rendering NULLs for a typo'd schema file is the
+    drift bug the registry exists to prevent."""
+    import logging
+
+    payload_fields = [f.name for f in ev.schema["after"].dataType.fields]
+    parts: list[DataFrame] = []
+    seen = F.lit(False)
+    for key, meta in registry.items():
+        unknown = [c for c in meta.valid_columns if c not in payload_fields]
+        if unknown:
+            raise ValueError(
+                f"schema file table {key!r} declares columns {unknown} that the "
+                f"event stream's payload struct lacks (has {payload_fields})"
+            )
+        cond = F.lower(F.col("table")) == meta.table.lower()
+        if meta.db:
+            cond = cond & (F.lower(F.col("db")) == meta.db.lower())
+        cond = cond & ~seen  # qualified/earlier entries take precedence
+        seen = seen | cond
+        parts.append(
+            render_one(
+                ev.filter(cond),
+                payload_cols=meta.valid_columns,
+                key_cols=meta.key_columns,
+            )
+        )
+    logging.getLogger("bingo2sql_spark.render").info(
+        "schema-file registry active: rendering %d table(s); events of "
+        "unregistered tables are skipped (reference local-mode semantics)",
+        len(registry),
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def write_sql_file(
     events: DataFrame,
     out_dir: str,
@@ -287,6 +338,7 @@ def write_sql_file(
     no_primary_key: bool = False,
     batch_rows: int = 100,
     compression: str | None = None,
+    table_registry: dict | None = None,
 ) -> None:
     """S5/S7 — the reference's user-facing artifact: an ordered SQL text
     file (single-writer funnel core/parser.go:844-857 replaced by a
@@ -297,24 +349,42 @@ def write_sql_file(
     global order across files: part-00000 < part-00001 ...); pass the
     result of operators.flashback.invert for rollback files — ascending
     seq on inverted events IS reverse binlog order, so no special
-    casing."""
+    casing.
+
+    `table_registry` (ddl.parse_schema_file output — the reference's
+    local-mode schema resolution) renders each event with ITS table's
+    metadata: generated columns excluded, that table's PRI/UNI key in
+    the WHERE clause. Events whose (db, table) resolves to no registry
+    entry are dropped, like the reference's uncached-table skip."""
     from bingo2sql_spark.operators import flashback as FB
 
     ev = FB.invert(events) if flashback else events
-    if minimal_insert and not flashback:
-        rendered = render_sql_inline(
-            ev,
-            minimal_update=minimal_update,
-            no_primary_key=no_primary_key,
-            batch_rows=batch_rows,
-        )
-    else:
+
+    def _render(part: DataFrame, payload_cols=None, key_cols=None) -> DataFrame:
+        if minimal_insert and not flashback:
+            return render_sql_inline(
+                part,
+                payload_cols,
+                minimal_update=minimal_update,
+                no_primary_key=no_primary_key,
+                batch_rows=batch_rows,
+                key_cols=key_cols,
+            )
         # flashback inverts inserts into deletes, so there is nothing to
         # batch on the rollback path (reference likewise only batches
         # forward inserts)
-        rendered = render_sql(
-            ev, minimal_update=minimal_update, no_primary_key=no_primary_key
+        return render_sql(
+            part,
+            payload_cols,
+            minimal_update=minimal_update,
+            no_primary_key=no_primary_key,
+            key_cols=key_cols,
         )
+
+    if table_registry:
+        rendered = _render_with_registry(ev, table_registry, _render)
+    else:
+        rendered = _render(ev)
     rendered = decorate(rendered, show_gtid, show_time, time_mode, show_thread)
     line = F.concat_ws(
         "\n",
@@ -332,6 +402,35 @@ def write_sql_file(
     if compression:
         w = w.option("compression", compression)
     w.text(out_dir)
+
+
+def archive_sql_artifact(out_dir: str, remove_original: bool = True) -> tuple[str, int]:
+    """S7 — the reference's Archive() (core/parser.go:2460-2485): pack
+    the finished SQL artifact into `<out_dir>.tar.gz`, report its size,
+    and delete the original (the reference's post-archive clear()).
+    Part files are stored in lexicographic order, so extracting and
+    concatenating part-* reproduces the globally ordered SQL text
+    byte-for-byte.
+
+    Driver-local by design: the artifact is the single ordered text
+    output a human downloads (parse/bingo2sql.go:207-225 serves exactly
+    this tar.gz); at cluster scale the parts live on shared storage and
+    this runs wherever the download service does."""
+    import shutil
+    import tarfile
+
+    if not os.path.isdir(out_dir):
+        raise FileNotFoundError(f"no SQL artifact directory at {out_dir}")
+    url = out_dir.rstrip("/") + ".tar.gz"
+    base = os.path.basename(out_dir.rstrip("/"))
+    with tarfile.open(url, "w:gz") as tar:
+        for name in sorted(os.listdir(out_dir)):
+            if name.startswith(("part-", "_SUCCESS")) or name.endswith(".txt"):
+                tar.add(os.path.join(out_dir, name), arcname=f"{base}/{name}")
+    size = os.stat(url).st_size
+    if remove_original:
+        shutil.rmtree(out_dir)
+    return url, size
 
 
 def with_insert_runs(events: DataFrame, block_size: int = 1 << 16) -> DataFrame:
@@ -390,7 +489,11 @@ def with_insert_runs(events: DataFrame, block_size: int = 1 << 16) -> DataFrame:
 
 
 def _batched_insert_stmts(
-    runs: DataFrame, payload_cols: list[str], batch_rows: int, no_primary_key: bool = False
+    runs: DataFrame,
+    payload_cols: list[str],
+    batch_rows: int,
+    no_primary_key: bool = False,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Multi-row INSERT statements from a `with_insert_runs` stream:
     one statement per (run, batch_rows-chunk), anchored at the run
@@ -406,7 +509,9 @@ def _batched_insert_stmts(
     row-count chunking; on a pre-filtered stream with seq gaps a chunk
     may hold FEWER than batch_rows tuples (never more, never crossing a
     run) — seq-aligned seams, an acceptable output difference."""
-    ins_cols = [c for c in payload_cols if not (no_primary_key and c in KEY_COLS)]
+    ins_cols = [
+        c for c in payload_cols if not (no_primary_key and c in (key_cols or KEY_COLS))
+    ]
     values = F.concat_ws(",", *[sql_literal(F.col(f"after.{c}")) for c in ins_cols])
     ins = runs.filter(F.col("op") == S.OP_INSERT).select(
         "seq", "gtid_uuid", "gno", "ts", "thread_id", "db", "table", "_run",
@@ -461,6 +566,7 @@ def render_sql_inline(
     no_primary_key: bool = False,
     batch_rows: int = 100,
     block_size: int = 1 << 16,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """The reference's default statement stream (`--minimal-insert` ON,
     core/parser.go:1164-1240): multi-row INSERT batches INLINE with
@@ -475,8 +581,9 @@ def render_sql_inline(
         cols,
         minimal_update=minimal_update,
         no_primary_key=no_primary_key,
+        key_cols=key_cols,
     )
-    batched = _batched_insert_stmts(runs, cols, batch_rows, no_primary_key)
+    batched = _batched_insert_stmts(runs, cols, batch_rows, no_primary_key, key_cols)
     return batched.unionByName(others)
 
 

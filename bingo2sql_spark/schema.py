@@ -162,13 +162,15 @@ RAW_EVENT_TYPED = ENVELOPE
 @dataclass(frozen=True)
 class ColumnMeta:
     """Per-column metadata the reference keeps on `Column`
-    (core/parser.go:36-46): key membership, unsigned-ness, generated
-    columns (excluded from emitted SQL, core/parser.go:49-56)."""
+    (core/parser.go:36-46): key membership (PRI / UNI ColumnKey),
+    unsigned-ness, generated columns (excluded from emitted SQL,
+    core/parser.go:49-56)."""
 
     name: str
     is_key: bool = False
     unsigned: bool = False
     generated: bool = False
+    unique: bool = False
 
 
 @dataclass
@@ -182,10 +184,14 @@ class TableMeta:
 
     @property
     def key_columns(self) -> list[str]:
-        """PK preferred; fallback all columns when keyless
-        (core/parser.go:1292-1305)."""
+        """PRI preferred, then UNIQUE columns (configPrimaryKey's
+        PRI > UNI precedence, core/parser.go:2211-2237); fallback all
+        columns when keyless (core/parser.go:1292-1305)."""
         keys = [c.name for c in self.columns if c.is_key]
-        return keys or [c.name for c in self.columns if not c.generated]
+        if keys:
+            return keys
+        uniq = [c.name for c in self.columns if c.unique]
+        return uniq or [c.name for c in self.columns if not c.generated]
 
     @property
     def valid_columns(self) -> list[str]:

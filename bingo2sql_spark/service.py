@@ -45,6 +45,8 @@ class _Job:
     error: str | None = None
     submitted_at: float = field(default_factory=time.time)
     finished_at: float | None = None
+    archive_path: str | None = None  # tar.gz artifact (submit(archive=True))
+    archive_size: int | None = None
 
 
 class ParseService:
@@ -56,10 +58,16 @@ class ParseService:
         self._lock = threading.Lock()
 
     # -- POST /binlog/parse ---------------------------------------------------
-    def submit(self, events: DataFrame, out_dir: str, **flags: Any) -> str:
+    def submit(
+        self, events: DataFrame, out_dir: str, archive: bool = False, **flags: Any
+    ) -> str:
         """Launch generate_sql(events, out_dir, **flags) asynchronously;
         returns the job id immediately (the reference's 202 + id,
-        parse/bingo2sql.go:102-166)."""
+        parse/bingo2sql.go:102-166). `archive=True` packs the finished
+        artifact into <out_dir>.tar.gz and deletes the original — the
+        reference archives every server-mode job and serves exactly
+        that file (Archive() core/parser.go:2460-2485, download
+        parse/bingo2sql.go:207-225); its byte size lands in progress()."""
         job_id = uuid.uuid4().hex[:12]
         job = _Job(job_id=job_id, out_dir=out_dir)
         with self._lock:
@@ -70,6 +78,10 @@ class ParseService:
             sc.setJobGroup(job_id, f"bingo2sql parse {job_id}", interruptOnCancel=True)
             try:
                 generate_sql(events, out_dir, **flags)
+                if archive:
+                    from bingo2sql_spark.functions.render import archive_sql_artifact
+
+                    job.archive_path, job.archive_size = archive_sql_artifact(out_dir)
                 job.state = "done"
             except Exception as e:  # noqa: BLE001 - job state carries the error
                 job.state = "cancelled" if job.state == "cancelling" else "failed"
@@ -102,13 +114,16 @@ class ParseService:
                     total += si.numTasks
                     done += si.numCompletedTasks
             pct = round(100.0 * done / total, 1) if total else 0.0
-        return {
+        out = {
             "job_id": job_id,
             "state": job.state,
             "pct": pct,
             "error": job.error,
             "runtime_secs": round((job.finished_at or time.time()) - job.submitted_at, 3),
         }
+        if job.archive_size is not None:
+            out["archive_bytes"] = job.archive_size  # Archive()'s size report
+        return out
 
     # -- DELETE /parse/:id -------------------------------------------------------
     def stop(self, job_id: str) -> dict[str, Any]:
@@ -122,12 +137,13 @@ class ParseService:
 
     # -- GET /parse/:id/download ---------------------------------------------------
     def download_path(self, job_id: str) -> str:
-        """Artifact location of a finished job (the reference streams the
-        tar.gz; here the ordered text-part directory)."""
+        """Artifact location of a finished job: the tar.gz when the job
+        archived (exactly what the reference's download handler streams,
+        parse/bingo2sql.go:207-225), else the ordered text-part dir."""
         job = self._get(job_id)
         if job.state != "done":
             raise ValueError(f"job {job_id} is {job.state}, not done")
-        return job.out_dir
+        return job.archive_path or job.out_dir
 
     def _get(self, job_id: str) -> _Job:
         with self._lock:
@@ -167,6 +183,7 @@ def serve(service: ParseService, events: DataFrame, host: str = "127.0.0.1", por
                 if not isinstance(flags, dict):
                     raise ValueError("body must be a JSON object")
                 out_dir = flags.pop("out_dir")
+                archive = bool(flags.pop("archive", False))
             except KeyError:
                 return self._send(400, {"error": "missing required field 'out_dir'"})
             except (ValueError, json.JSONDecodeError) as e:
@@ -179,7 +196,7 @@ def serve(service: ParseService, events: DataFrame, host: str = "127.0.0.1", por
                 return self._send(
                     400, {"error": f"unknown flags {unknown}; allowed: {sorted(allowed)}"}
                 )
-            job_id = service.submit(events, out_dir, **flags)
+            job_id = service.submit(events, out_dir, archive=archive, **flags)
             self._send(202, {"job_id": job_id})
 
         def do_GET(self):  # noqa: N802

@@ -1,0 +1,232 @@
+"""CREATE TABLE schema-file resolution (ddl.py — the reference's
+local-mode readTableSchema/buildTableInfo, core/parser.go:2035-2181)
+and its end-to-end wiring through rendering and the CLI
+(TestFieldGenerated mirror, core/parser_test.go:787-812)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bingo2sql_spark.ddl import (
+    lookup,
+    parse_create_table,
+    parse_schema_file,
+    parse_schema_text,
+    split_statements,
+)
+
+# the reference suite's own DDL corpus shapes (core/parser_test.go:28-85)
+REFERENCE_DDLS = """
+CREATE TABLE IF NOT EXISTS test_replication (
+    id BIGINT(64) UNSIGNED  NOT NULL AUTO_INCREMENT,
+    str VARCHAR(256),
+    f FLOAT,
+    d DOUBLE,
+    de DECIMAL(10,2),
+    e enum ("e1", "e2"),
+    b BIT(8),
+    se SET('a', 'b', 'c'),
+    PRIMARY KEY (id)
+  ) ENGINE=InnoDB DEFAULT CHARSET=utf8;
+CREATE TABLE IF NOT EXISTS test_generated (
+    id int primary key,
+    price int,
+    number int,
+    total int generated always as (price*number));
+CREATE TABLE test_geo (id int auto_increment primary key, g GEOMETRY);
+CREATE TABLE IF NOT EXISTS test_json_v2 (
+    id INT,
+    c JSON,
+    PRIMARY KEY (id)
+    ) ENGINE=InnoDB;
+"""
+
+
+def test_parses_reference_ddl_corpus():
+    reg = parse_schema_text(REFERENCE_DDLS)
+    assert set(reg) == {"test_replication", "test_generated", "test_geo", "test_json_v2"}
+    tr = reg["test_replication"]
+    assert tr.key_columns == ["id"]
+    assert [c.name for c in tr.columns if c.unsigned] == ["id"]
+    assert [c.name for c in tr.columns] == [
+        "id", "str", "f", "d", "de", "e", "b", "se",
+    ]
+
+
+def test_generated_column_excluded_and_pk_inline():
+    """TestFieldGenerated's table: `total` is generated -> excluded from
+    valid_columns; inline `primary key` on id is picked up."""
+    reg = parse_schema_text(REFERENCE_DDLS)
+    tg = reg["test_generated"]
+    assert tg.valid_columns == ["id", "price", "number"]
+    assert tg.key_columns == ["id"]
+    assert [c.name for c in tg.columns if c.generated] == ["total"]
+
+
+def test_generated_variants():
+    """STORED/VIRTUAL and the bare `AS (...)` shorthand all mark the
+    column generated (ColumnOptionGenerated, core/parser.go:2164-2170)."""
+    t = parse_create_table(
+        "CREATE TABLE g (id int primary key, a int, "
+        "s int GENERATED ALWAYS AS (a+1) STORED, "
+        "v int GENERATED ALWAYS AS (a+2) VIRTUAL, "
+        "w int AS (a+3))"
+    )
+    assert [c.name for c in t.columns if c.generated] == ["s", "v", "w"]
+    assert t.valid_columns == ["id", "a"]
+
+
+def test_unique_fallback_precedence():
+    """configPrimaryKey: PRI wins; else UNI; else all columns
+    (core/parser.go:2211-2237 + keyless fallback 1292-1305)."""
+    t = parse_create_table(
+        "CREATE TABLE u (a int, b int, c text, UNIQUE KEY idx_b (b))"
+    )
+    assert t.key_columns == ["b"]
+    t2 = parse_create_table("CREATE TABLE u2 (a int UNIQUE, b int PRIMARY KEY)")
+    assert t2.key_columns == ["b"]
+    t3 = parse_create_table("CREATE TABLE u3 (a int, b text)")
+    assert t3.key_columns == ["a", "b"]
+
+
+def test_quoting_comments_and_multi_statement():
+    """Semicolons inside quoted strings/comments must not split
+    statements (readTableSchema's quotaIsDouble loop); backquoted
+    identifiers keep exotic names; COMMENT text never leaks flags."""
+    sql = """
+    -- leading comment; with semicolon
+    CREATE TABLE `test`.`t1` (
+      `key` varchar(10),
+      note text COMMENT 'ends; with (weird) UNIQUE text',
+      PRIMARY KEY (`key`)
+    );  # trailing
+    /* block; comment */
+    CREATE TABLE t2 (x int, y varchar(5) DEFAULT 'a;b', PRIMARY KEY (x));
+    """
+    assert len(split_statements(sql)) == 2
+    reg = parse_schema_text(sql)
+    t1 = reg["test.t1"]
+    assert [c.name for c in t1.columns] == ["key", "note"]
+    assert t1.key_columns == ["key"]
+    assert not any(c.unique for c in t1.columns)  # COMMENT text ignored
+    assert reg["t2"].key_columns == ["x"]
+
+
+def test_lookup_precedence_and_schema_file(tmp_path):
+    """cacheNewTable keys: 'db.table' when qualified, bare table
+    otherwise; lookup resolves qualified first then unqualified.
+    parse_schema_file raises on a file with no CREATE TABLE."""
+    reg = parse_schema_text(
+        "CREATE TABLE a.t (x int PRIMARY KEY); CREATE TABLE t (y int PRIMARY KEY)"
+    )
+    assert lookup(reg, "a", "t").key_columns == ["x"]
+    assert lookup(reg, "other", "t").key_columns == ["y"]
+    assert lookup(reg, "a", "missing") is None
+
+    p = tmp_path / "schema.sql"
+    p.write_text(REFERENCE_DDLS)
+    assert set(parse_schema_file(str(p))) == {
+        "test_replication", "test_generated", "test_geo", "test_json_v2",
+    }
+    bad = tmp_path / "empty.sql"
+    bad.write_text("-- nothing here;\nINSERT INTO x VALUES (1);")
+    with pytest.raises(ValueError, match="no CREATE TABLE"):
+        parse_schema_file(str(bad))
+
+
+def _write_schema(tmp_path, body: str) -> str:
+    p = tmp_path / "schema.sql"
+    p.write_text(body)
+    return str(p)
+
+
+def test_cli_schema_file_drives_rendering(spark, tmp_path):
+    """TestFieldGenerated mirror over the engine's pinned table: a
+    schema file declaring `branch` GENERATED and PRIMARY KEY (repo,
+    path) drives the CLI -> generated column absent from every
+    statement, WHERE uses the file's key; the unregistered
+    meta.audit_log events are skipped (reference local mode renders
+    cached tables only)."""
+    from bingo2sql_spark.__main__ import main
+    from bingo2sql_spark.sources.synth import generate_events, to_raw_typed
+
+    ev = generate_events(spark, n_keys=80, versions_per_key=4, n_repos=8, seed=3)
+    src = str(tmp_path / "landing")
+    to_raw_typed(ev).write.parquet(src)
+    schema = _write_schema(
+        tmp_path,
+        """CREATE TABLE test.repo_files (
+             repo varchar(200),
+             path varchar(500),
+             commit varchar(64),
+             lang varchar(32),
+             content longtext,
+             branch varchar(64) GENERATED ALWAYS AS (repo) VIRTUAL,
+             PRIMARY KEY (repo, path)
+           );""",
+    )
+    out = str(tmp_path / "out")
+    rc = main(["--input", src, "--input-format", "raw_typed_parquet",
+               "-o", out, "--table-schema", schema])
+    assert rc == 0
+    body = "".join(
+        open(os.path.join(out, f)).read()
+        for f in sorted(os.listdir(out)) if f.startswith("part-")
+    )
+    assert "INSERT INTO" in body and "UPDATE" in body
+    assert "`branch`" not in body  # generated column excluded (T6)
+    assert "`repo`=" in body and "`path`=" in body  # file's PK in WHERE
+    assert "audit_log" not in body  # unregistered table skipped
+
+
+def test_cli_lone_tables_value_naming_a_file_is_schema(spark, tmp_path):
+    """The reference overloads --tables: in local mode the value is the
+    schema file path (core/parser.go:794-815). A lone -t value naming
+    an existing file must behave exactly like --table-schema."""
+    from bingo2sql_spark.__main__ import main
+    from bingo2sql_spark.sources.synth import generate_events, to_raw_typed
+
+    ev = generate_events(spark, n_keys=40, versions_per_key=4, n_repos=4, seed=5)
+    src = str(tmp_path / "landing")
+    to_raw_typed(ev).write.parquet(src)
+    schema = _write_schema(
+        tmp_path,
+        # keyless except a UNIQUE: WHERE must use the UNI fallback column
+        """CREATE TABLE repo_files (
+             repo varchar(200),
+             path varchar(500),
+             commit varchar(64),
+             lang varchar(32),
+             content longtext,
+             UNIQUE KEY uq (repo)
+           );""",
+    )
+    out = str(tmp_path / "out")
+    rc = main(["--input", src, "--input-format", "raw_typed_parquet",
+               "-o", out, "-t", schema, "--sql-type", "delete"])
+    assert rc == 0
+    body = "".join(
+        open(os.path.join(out, f)).read()
+        for f in sorted(os.listdir(out)) if f.startswith("part-")
+    )
+    deletes = [ln for ln in body.splitlines() if ln.startswith("DELETE")]
+    assert deletes
+    # UNI fallback: WHERE on repo only, never path
+    assert all("`repo`=" in ln and "`path`=" not in ln for ln in deletes)
+
+
+def test_registry_rejects_unknown_columns(spark, tmp_path):
+    """A schema-file column absent from the stream's payload struct
+    fails loudly instead of rendering NULLs."""
+    from bingo2sql_spark.api import generate_sql
+    from bingo2sql_spark.sources.synth import generate_events
+
+    ev = generate_events(spark, n_keys=10, versions_per_key=2, seed=9)
+    schema = _write_schema(
+        tmp_path,
+        "CREATE TABLE repo_files (repo varchar(10) PRIMARY KEY, nope int);",
+    )
+    with pytest.raises(ValueError, match="nope"):
+        generate_sql(ev, str(tmp_path / "out"), table_schema=schema)

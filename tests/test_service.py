@@ -156,3 +156,61 @@ def test_cli_main_generates_sql(spark, tmp_path):
     )
     # flashback inverts: the stream's inserts become DELETEs
     assert "DELETE FROM" in fb_body
+
+
+def test_archive_round_trips_to_same_sql(spark, tmp_path):
+    """S7 tar.gz parity (Archive() core/parser.go:2460-2485): an
+    archived job's tar.gz extracts to the byte-identical decorated SQL
+    of an unarchived run, the original artifact dir is deleted (the
+    reference's post-archive clear()), progress reports the archive
+    size, and download serves the tar.gz path."""
+    import os
+    import tarfile
+
+    svc = ParseService(spark)
+    ev = generate_events(spark, n_keys=80, versions_per_key=4, seed=13)
+    plain_out = str(tmp_path / "plain")
+    j1 = svc.submit(ev, plain_out, tables=["repo_files"])
+    assert _wait(svc, j1)["state"] == "done"
+    plain = "".join(
+        open(f).read() for f in sorted(glob.glob(plain_out + "/part-*"))
+    )
+
+    arch_out = str(tmp_path / "arch")
+    j2 = svc.submit(ev, arch_out, tables=["repo_files"], archive=True)
+    p = _wait(svc, j2)
+    assert p["state"] == "done"
+    tar_path = svc.download_path(j2)
+    assert tar_path.endswith(".tar.gz") and os.path.exists(tar_path)
+    assert not os.path.exists(arch_out)  # original deleted after packing
+    assert p["archive_bytes"] == os.stat(tar_path).st_size > 0
+    with tarfile.open(tar_path) as tar:
+        members = sorted(m.name for m in tar.getmembers() if "part-" in m.name)
+        body = "".join(
+            tar.extractfile(m).read().decode() for m in map(tar.getmember, members)
+        )
+    assert body == plain and "INSERT INTO" in body
+
+
+def test_http_archive_flag(spark, tmp_path):
+    """The POST body's archive flag survives the allowed-flags check and
+    the download route serves the tar.gz."""
+    svc = ParseService(spark)
+    ev = generate_events(spark, n_keys=30, versions_per_key=3, seed=21)
+    server = serve(svc, ev)
+    port = server.server_address[1]
+    try:
+        body = json.dumps(
+            {"out_dir": str(tmp_path / "h"), "archive": True, "show_gtid": False}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/binlog/parse", data=body, method="POST"
+        )
+        job_id = json.load(urllib.request.urlopen(req))["job_id"]
+        _wait(svc, job_id)
+        got = json.load(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/parse/{job_id}/download")
+        )
+        assert got["path"].endswith(".tar.gz")
+    finally:
+        server.shutdown()
