@@ -499,6 +499,36 @@ def _q_minhash_signature(spark, sf_dir):
     return DD.minhash_signature(docs, k=4)
 
 
+def _q_incremental_minhash(spark, sf_dir):
+    """Incremental dedup over the changelog (VERDICT r4 #9, the 100 TB
+    continuous-curation story): signatures computed at snapshot v1 are
+    UPDATED from changes_between(v1, v2) — deleted keys leave, changed
+    keys re-sign from their after image, untouched keys keep their
+    stored rows (here doc_id%3!=0 keys, so the kept side is
+    non-trivial). The oracle recomputes signatures from the final LWW
+    state directly; equality proves incremental == full recompute."""
+    from bingo2sql_spark.operators import dedup as DD
+    from bingo2sql_spark.operators.apply import IcebergLiteTable
+    from bingo2sql_spark.pipeline import replay
+
+    env = _doc_events(spark, sf_dir)
+    tmp = _scratch_dir("bingo2sql_incrsig_")
+    t = IcebergLiteTable(os.path.join(tmp, "t"), n_buckets=16)
+    m1 = replay(env.filter(F.col("seq") < 2000000), t, batch_id="h1")  # v0+v1
+    # ad-hoc partial tail: only 1/3 of the docs see their v2 event
+    m2 = replay(
+        env.filter((F.col("seq") >= 2000000) & (F.col("seq") % 1000000 % 3 == 0)),
+        t,
+        batch_id="h2",
+    )
+    state1 = t.read(spark, version=m1["snapshot"])
+    sigs1 = DD.minhash_signature_keyed(state1, ["repo", "path"], text_col="content", k=4)
+    ch = t.changes_between(spark, m1["snapshot"], m2["snapshot"])
+    return DD.update_minhash_signatures(
+        sigs1, ch, ["repo", "path"], text_col="content", k=4
+    )
+
+
 def _q_minhash_pairs(spark, sf_dir):
     from bingo2sql_spark.operators import dedup as DD
 
@@ -1009,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": _q_dedup_fingerprint,
         "dedup_minhash_signature": _q_minhash_signature,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_incremental_minhash": _q_incremental_minhash,
         "dedup_connected_keepers": _q_connected_keepers,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -1346,6 +1377,30 @@ SELECT doc_id,
 FROM (SELECT doc_id, {_SHINGLES} AS _sh
       FROM (SELECT doc_id, {_WORDS} AS _w FROM documents))
 """
+    # incremental signature maintenance == full recompute on the final
+    # state: stream = all v0+v1 events plus the v2 tail of doc_id%3==0
+    # (mirrors _q_incremental_minhash's two commits); signatures over
+    # each live key's winning content
+    q["dedup_incremental_minhash"] = (
+        _EV
+        + """
+, evf AS (SELECT * FROM _ev WHERE v < 2 OR doc_id % 3 = 0),
+fin AS (SELECT repo, path, content
+        FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) rn
+              FROM evf)
+        WHERE rn = 1 AND op <> 'delete'),
+w AS (SELECT repo, path, string_split_regex(trim(content), '\\s+') AS _w FROM fin),
+s AS (SELECT repo, path, list_transform(generate_series(1, greatest(len(_w)-2, 1)),
+                                        i -> md5(concat_ws(' ', _w[i], _w[i+1], _w[i+2]))) AS _sh
+      FROM w)
+SELECT repo, path,
+       list_min(list_transform(_sh, x -> md5('0:' || x))) AS mh0,
+       list_min(list_transform(_sh, x -> md5('1:' || x))) AS mh1,
+       list_min(list_transform(_sh, x -> md5('2:' || x))) AS mh2,
+       list_min(list_transform(_sh, x -> md5('3:' || x))) AS mh3
+FROM s
+"""
+    )
     q["dedup_minhash_lsh_pairs"] = f"""
 WITH d AS (SELECT doc_id, text FROM documents
            UNION ALL SELECT doc_id+1000000, text FROM documents),

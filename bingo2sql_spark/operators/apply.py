@@ -220,6 +220,7 @@ class IcebergLiteTable:
         n_buckets: int = 64,
         write_mode: str = "cow",
         max_delta_depth: int | None = None,
+        max_read_amplification: float | None = None,
     ):
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -231,6 +232,15 @@ class IcebergLiteTable:
         #: "inline compaction" knob) — bounds read amplification without
         #: an external maintenance job. None = manual compaction only.
         self.max_delta_depth = max_delta_depth
+        #: MOR maintenance policy #2 (VERDICT r4 #5): compact when any
+        #: bucket's MEASURED read amplification — delta rows / base rows,
+        #: maintained from the commits' parquet footer stats, no data
+        #: read — exceeds this ratio. Depth alone misses the read-heavy
+        #: shape: a couple of LARGE deltas (replays, backfills) double
+        #: every read's row volume at depth 2, while a hundred tiny
+        #: deltas on a 10^8-row bucket are harmless at depth 100. Either
+        #: trigger fires independently; both keep tombstones.
+        self.max_read_amplification = max_read_amplification
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
 
     # -- manifest bookkeeping ------------------------------------------------
@@ -686,12 +696,34 @@ class IcebergLiteTable:
         buckets_map = dict(m["buckets"])
         deltas = {bk: list(v) for bk, v in m.get("deltas", {}).items()}
         lineage = dict(m.get("lineage", {}))
+        # per-bucket base/delta row counts (from footer stats — no data
+        # read): the measured read-amplification signal the inline
+        # compaction policy keys on
+        bucket_rows = {bk: dict(v) for bk, v in m.get("bucket_rows", {}).items()}
         for bk, st in written.items():
             if mor:
                 deltas.setdefault(bk, []).append(new_version)
+                br = bucket_rows.get(bk)
+                if br is None:
+                    # pure-MOR tables never write a base until compaction:
+                    # the bucket's FIRST delta plays the base's role in
+                    # the amplification ratio (reading one file is the
+                    # ideal; every further delta is the overhead)
+                    bucket_rows[bk] = {"base": st["rows"], "delta": 0}
+                else:
+                    br["delta"] += st["rows"]
             else:
                 buckets_map[bk] = new_version
+                bucket_rows[bk] = {"base": st["rows"], "delta": 0}
             lineage[bk] = {"snapshot": new_version, **st}
+        read_amp = max(
+            (
+                br["delta"] / max(br["base"], 1)
+                for br in bucket_rows.values()
+                if br["delta"]
+            ),
+            default=0.0,
+        )
         metrics = {
             "batch_id": batch_id,
             "skipped": False,
@@ -705,6 +737,7 @@ class IcebergLiteTable:
         }
         if mor:
             metrics["delta_depth"] = max((len(v) for v in deltas.values()), default=0)
+            metrics["read_amplification"] = round(read_amp, 4)
         batches, watermarks = self._record_batch(m, batch_id)
         self._write_manifest(
             {
@@ -716,6 +749,7 @@ class IcebergLiteTable:
                 "batch_watermarks": watermarks,
                 "columns": all_cols,
                 "lineage": lineage,
+                "bucket_rows": bucket_rows,
                 "metrics": metrics,
                 # sticky until a compaction folds the partial deltas:
                 # gates the per-column read-time merge in _read_raw
@@ -723,11 +757,15 @@ class IcebergLiteTable:
                 or (mor and partial),
             }
         )
-        if (
-            mor
-            and self.max_delta_depth is not None
-            and metrics["delta_depth"] > self.max_delta_depth
-        ):
+        depth_hit = (
+            self.max_delta_depth is not None
+            and metrics.get("delta_depth", 0) > self.max_delta_depth
+        )
+        amp_hit = (
+            self.max_read_amplification is not None
+            and read_amp > self.max_read_amplification
+        )
+        if mor and (depth_hit or amp_hit):
             # inline compaction (after the commit point, so the batch is
             # durable either way; a crash here just leaves deltas for the
             # next compaction to fold). Tombstones MUST survive here:
@@ -738,7 +776,11 @@ class IcebergLiteTable:
             # (ADVICE r3). Tombstone GC stays an explicit user call.
             c = self.compact(spark, drop_tombstones=False)
             metrics["compacted_to"] = c.get("snapshot")
+            metrics["compaction_trigger"] = (
+                "read_amplification" if amp_hit and not depth_hit else "delta_depth"
+            )
             metrics["delta_depth"] = 0
+            metrics["read_amplification"] = 0.0
         return metrics
 
     def rebucket(
@@ -896,6 +938,11 @@ class IcebergLiteTable:
                 "version": new_version,
                 "buckets": buckets_map,
                 "deltas": {},
+                # folded deltas are base rows now: read amplification
+                # resets to zero
+                "bucket_rows": {
+                    bk: {"base": st["rows"], "delta": 0} for bk, st in written.items()
+                },
                 "metrics": metrics,
                 # folded rows are complete images again
                 "partial_deltas": False,

@@ -455,6 +455,37 @@ def test_mor_inline_auto_compaction(spark, small_events, tmp_path):
     assert replay(parts[2], t, batch_id="a2")["skipped"]
 
 
+def test_mor_read_amplification_auto_compaction(spark, small_events, tmp_path):
+    """VERDICT r4 #5: the inline policy keyed on MEASURED read cost.
+    Two LARGE deltas (each roughly the base's size) push delta-rows /
+    base-rows past 1.0 at depth 2 — a read-heavy shape a depth-only
+    policy (max_delta_depth=10) would never compact. The trigger is
+    recorded, state matches an in-order cow replay, bookkeeping from
+    footer stats matches reality."""
+    t = IcebergLiteTable(
+        str(tmp_path / "ra"), n_buckets=8, write_mode="mor",
+        max_delta_depth=10, max_read_amplification=1.3,
+    )
+    # first delta plays the base role; then two ~half-size replays stack
+    base = small_events.filter("seq < 800")
+    m0 = replay(base, t, batch_id="b0")
+    assert "compacted_to" not in m0 and m0["read_amplification"] == 0
+    half = small_events.filter("seq >= 800 and seq < 1200")
+    m1 = replay(half, t, batch_id="b1")
+    m2 = replay(small_events.filter("seq >= 1200"), t, batch_id="b2")
+    fired = [m for m in (m1, m2) if m.get("compacted_to")]
+    assert fired and fired[-1]["compaction_trigger"] == "read_amplification"
+    assert all(m["delta_depth"] <= 2 for m in (m1, m2))  # depth never near 10
+    man = t.latest_manifest()
+    # bucket_rows bookkeeping: a compaction folds deltas to zero
+    if m2.get("compacted_to"):
+        assert all(v["delta"] == 0 for v in man["bucket_rows"].values())
+    ref = IcebergLiteTable(str(tmp_path / "ra_ref"), n_buckets=8)
+    for i, cut in enumerate(("seq < 800", "seq >= 800 and seq < 1200", "seq >= 1200")):
+        replay(small_events.filter(cut), ref, batch_id=f"r{i}")
+    assert t.state_checksum(spark) == ref.state_checksum(spark)
+
+
 def test_read_keys_point_lookup_prunes_buckets(spark, small_events, tmp_path):
     """read_keys returns exactly the live rows of the requested keys and
     reads ONLY their owning buckets (at 32 buckets a 3-key lookup scans
@@ -861,3 +892,26 @@ def test_mor_partial_delta_union_metadata_hand_values(spark, tmp_path):
     assert (r2["commit"], r2["lang"], r2["content"], r2["branch"]) == (
         "c001", "go", "body-v11", "main"
     )
+
+
+def test_incremental_minhash_matches_full_recompute(spark, small_events, tmp_path):
+    """update_minhash_signatures over changes_between == full
+    minhash_signature_keyed over the final state — insert, update and
+    delete changelog rows all maintained correctly (VERDICT r4 #9)."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    t = IcebergLiteTable(str(tmp_path / "sig"), n_buckets=8)
+    m1 = replay(small_events.filter("seq < 1000"), t, batch_id="s1")
+    m2 = replay(small_events.filter("seq >= 1000"), t, batch_id="s2")
+    keys = ["repo", "path"]
+    sigs1 = DD.minhash_signature_keyed(
+        t.read(spark, version=m1["snapshot"]), keys, text_col="content", k=4
+    )
+    ch = t.changes_between(spark, m1["snapshot"], m2["snapshot"])
+    assert ch.filter("op = 'delete'").count() > 0  # delete path exercised
+    incr = DD.update_minhash_signatures(sigs1, ch, keys, text_col="content", k=4)
+    full = DD.minhash_signature_keyed(t.read(spark), keys, text_col="content", k=4)
+    cols = keys + [f"mh{i}" for i in range(4)]
+    a = {tuple(r) for r in incr.select(*cols).collect()}
+    b = {tuple(r) for r in full.select(*cols).collect()}
+    assert a == b and a
