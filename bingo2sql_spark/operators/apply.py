@@ -89,6 +89,7 @@ def _merge_batch(
     partial: bool,
     n_out: int,
     emit_changed: bool = False,
+    elect: bool = False,
 ) -> DataFrame:
     """The MERGE: per-key LWW by source seq over stored ∪ batch rows
     (collapses multiple events per key within the batch too). Tombstones
@@ -101,8 +102,38 @@ def _merge_batch(
     distribution, so Catalyst inserts NO second exchange; the output
     stays clustered by bucket, which is exactly what the dynamic
     pbucket-partitioned write wants (one contiguous writer per bucket,
-    no tasks x buckets file blow-up)."""
-    both = current.unionByName(batch_rows).repartition(n_out, "bucket")
+    no tasks x buckets file blow-up).
+
+    elect=True — KEY-ONLY WINNER ELECTION with late content
+    materialization (VERDICT r4 #1): that one exchange normally carries
+    every candidate row's full content, losers included — at 100 TB the
+    shuffle is payload-scale though only winners survive the aggregate.
+    The election first reduces (keys, _ingest_seq) alone — a narrow
+    map-side-combined aggregate whose shuffle carries one (key, max seq)
+    pair per distinct key, with the stored side read column-pruned and a
+    typed-wire batch side decoding only key fields — then semi-joins the
+    full rows against the BROADCAST winning-seq set, so content enters
+    the bucket exchange only for rows that can still win. Seqs are
+    globally unique per source event and each event touches one key, so
+    matching on seq alone is key-safe; a re-delivered duplicate (same
+    seq stored AND in the batch) passes twice and the unchanged final
+    aggregate — still the exact arbiter — collapses it. Invalid for
+    partial=True (per-column winners draw columns from row-level
+    losers), enforced by the caller."""
+    both = current.unionByName(batch_rows)
+    if elect:
+        if partial:
+            raise ValueError("key-only election cannot apply to MINIMAL-image merges")
+        win = (
+            both.select(*S.MERGE_KEYS, "_ingest_seq")
+            .groupBy(*S.MERGE_KEYS)
+            .agg(F.max("_ingest_seq").alias("_win_seq"))
+            .select("_win_seq")
+        )
+        both = both.join(
+            F.broadcast(win), both["_ingest_seq"] == win["_win_seq"], "left_semi"
+        )
+    both = both.repartition(n_out, "bucket")
     return _per_key_winners(both, all_cols, partial, emit_changed)
 
 
@@ -221,9 +252,16 @@ class IcebergLiteTable:
         write_mode: str = "cow",
         max_delta_depth: int | None = None,
         max_read_amplification: float | None = None,
+        merge_strategy: str = "full",
+        election_max_rows: int = 50_000_000,
     ):
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        if merge_strategy not in ("auto", "election", "full"):
+            raise ValueError(
+                f"merge_strategy must be 'auto', 'election' or 'full', "
+                f"got {merge_strategy!r}"
+            )
         self.path = path
         self.n_buckets = n_buckets
         self.write_mode = write_mode
@@ -241,6 +279,29 @@ class IcebergLiteTable:
         #: deltas on a 10^8-row bucket are harmless at depth 100. Either
         #: trigger fires independently; both keep tombstones.
         self.max_read_amplification = max_read_amplification
+        #: MERGE shuffle strategy (see _merge_batch): "full" shuffles
+        #: every candidate row's content (the classic plan); "election"
+        #: always runs the key-only winner election + broadcast
+        #: semi-join; "auto" elects when the manifest-metadata upper
+        #: bound on candidate keys (stored rows of affected buckets +
+        #: batch rows from the pruning pre-pass) stays under
+        #: `election_max_rows` — past that the winning-seq broadcast
+        #: (8 bytes/key + set overhead) stops being driver/executor-safe
+        #: and the full shuffle is the scalable plan. MINIMAL-image
+        #: commits always use "full" (election is per-row, their merge
+        #: is per-column).
+        #:
+        #: Default "full": measured on this box (BENCH/shuffle_bytes.py,
+        #: 3.2M events / 400k keys / 16 pinned cores, fresh JVMs)
+        #: election cuts shuffle-write bytes to 0.33x (initial load) /
+        #: 0.41x (incremental) of the full plan but costs 25-45% wall —
+        #: a single-host tmpfs shuffle moves at RAM speed, so the saved
+        #: bytes buy nothing locally while the extra narrow pass +
+        #: broadcast are pure cost. On a CLUSTER, where those bytes
+        #: cross the network/disks, the 2.4-3x byte cut is the win:
+        #: deploy with merge_strategy="auto" there.
+        self.merge_strategy = merge_strategy
+        self.election_max_rows = election_max_rows
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
 
     # -- manifest bookkeeping ------------------------------------------------
@@ -639,6 +700,7 @@ class IcebergLiteTable:
             b = b.withColumn("_ingest_seq", F.col("_ingest_seq") + F.lit(offset))
         new_version = m["version"] + 1
 
+        elect = False
         if affected:
             if mor:
                 # delta append: the batch self-merges (per-key winners
@@ -678,9 +740,33 @@ class IcebergLiteTable:
             # time; smaller tasks let dynamic scheduling balance it.
             par = batch.sparkSession.sparkContext.defaultParallelism
             n_out = max(1, min(len(affected), 4 * par))
+            # key-only election decision (see merge_strategy docstring):
+            # "auto" needs a KNOWN candidate upper bound — stored rows of
+            # the affected buckets from manifest metadata plus the batch
+            # rows the pruning pre-pass measured; paths without the
+            # pre-pass (empty table, MOR delta append) have no bound and
+            # stay on the full shuffle unless election is forced.
+            if not partial and self.merge_strategy != "full":
+                if self.merge_strategy == "election":
+                    elect = True
+                elif batch_counts is not None:
+                    br_map = m.get("bucket_rows", {})
+                    lin = m.get("lineage", {})
+                    stored_est = 0
+                    for bk in affected:
+                        b = str(bk)
+                        if b in br_map:
+                            stored_est += int(br_map[b].get("base", 0)) + int(
+                                br_map[b].get("delta", 0)
+                            )
+                        elif b in lin:
+                            stored_est += int(lin[b].get("rows") or 0)
+                    elect = (
+                        stored_est + batch_counts["rows"] <= self.election_max_rows
+                    )
             merged = _merge_batch(
                 current, batch_rows, all_cols, partial, n_out,
-                emit_changed=mor and partial,
+                emit_changed=mor and partial, elect=elect,
             )
             merged = merged.withColumn("pbucket", F.col("bucket"))
             snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
@@ -733,6 +819,7 @@ class IcebergLiteTable:
             "buckets_total": self.n_buckets,
             "rows_in_batch": batch_counts["rows"],
             "deletes": batch_counts["deletes"],
+            "merge_plan": "election" if elect else "full",
             "commit_secs": round(time.time() - t0, 3),
         }
         if mor:

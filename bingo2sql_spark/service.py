@@ -152,13 +152,27 @@ class ParseService:
             return self._jobs[job_id]
 
 
-def serve(service: ParseService, events: DataFrame, host: str = "127.0.0.1", port: int = 0):
+def serve(
+    service: ParseService,
+    events: DataFrame,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    push_interval: float = 5.0,
+):
     """Stdlib HTTP face over ParseService with the reference's routes
     (cmd/server.go:120-139). `events` is the pre-bound source stream (the
     reference binds its source from the posted config; the driver contract
     here passes DataFrames, so the POST body carries only flags). Returns
     the started server; call .shutdown() to stop. Port 0 picks a free port
-    (server.server_address[1])."""
+    (server.server_address[1]).
+
+    GET /parse/:id/events is the PUSH progress channel — the reference's
+    5-second websocket push (core/socket.go:34-76) as Server-Sent
+    Events: one `data: {job_id, state, pct, ...}` frame per
+    `push_interval` until the job leaves running state (final frame
+    carries the terminal state). SSE keeps the server stdlib-only;
+    any websocket/EventSource client consumes the same JSON the
+    reference pushed."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -199,6 +213,21 @@ def serve(service: ParseService, events: DataFrame, host: str = "127.0.0.1", por
             job_id = service.submit(events, out_dir, archive=archive, **flags)
             self._send(202, {"job_id": job_id})
 
+        def _push_events(self, job_id: str) -> None:
+            # SSE progress push (reference websocket core/socket.go:34-76)
+            service.progress(job_id)  # 404 via KeyError before headers go out
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            while True:
+                p = service.progress(job_id)
+                self.wfile.write(f"data: {json.dumps(p)}\n\n".encode())
+                self.wfile.flush()
+                if p["state"] not in ("running", "cancelling"):
+                    return  # terminal frame sent; close the stream
+                time.sleep(push_interval)
+
         def do_GET(self):  # noqa: N802
             parts = self.path.strip("/").split("/")
             try:
@@ -206,8 +235,12 @@ def serve(service: ParseService, events: DataFrame, host: str = "127.0.0.1", por
                     return self._send(200, service.progress(parts[1]))
                 if len(parts) == 3 and parts[0] == "parse" and parts[2] == "download":
                     return self._send(200, {"path": service.download_path(parts[1])})
+                if len(parts) == 3 and parts[0] == "parse" and parts[2] == "events":
+                    return self._push_events(parts[1])
             except (KeyError, ValueError) as e:
                 return self._send(404, {"error": str(e)})
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client hung up mid-push
             self._send(404, {"error": "not found"})
 
         def do_DELETE(self):  # noqa: N802

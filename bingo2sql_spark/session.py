@@ -49,6 +49,16 @@ def get_spark(
         # lz4 at modest CPU cost — the shuffle is bandwidth-bound in
         # this workload (BENCH/BASELINE.md analysis)
         .config("spark.io.compression.codec", "zstd")
+        # single-JVM local mode: the shuffle never leaves this host's
+        # page cache/tmpfs, so compressing it is pure CPU with nothing
+        # saved — measured -7.6% wall on the 3.2M-event replay with it
+        # off (BENCH/codec_ab.py, consistent with the r2 probe matrix).
+        # Cluster masters keep compression: there the bytes cross the
+        # network. BINGO_SPARK_CONF/extra_conf still override.
+        .config(
+            "spark.shuffle.compress",
+            "false" if (master or f"local[{cpus}]").startswith("local") else "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

@@ -279,3 +279,47 @@ def test_cap_drop_is_logged(spark, caplog):
     with caplog.at_level(logging.INFO, logger="bingo2sql_spark.dedup"):
         DD.simhash_pairs(boiler, n_bits=16, max_bucket_size=10)
     assert any("cap active" in r.getMessage() for r in caplog.records)
+
+
+def test_election_merge_plan_shape(spark, small_events, tmp_path):
+    """Key-only election plan (VERDICT r4 #1): the winning-seq set must
+    arrive via a BROADCAST semi-join (never a shuffle of the content
+    side on seq), the election aggregate must have a map-side partial
+    phase (its shuffle carries one (key, max seq) pair per key), and the
+    bucket exchange must sit ABOVE the semi-join — content of loser rows
+    never enters it."""
+    from bingo2sql_spark.operators.apply import IcebergLiteTable
+    from bingo2sql_spark.pipeline import replay
+
+    t = IcebergLiteTable(
+        str(tmp_path / "el"), n_buckets=8, merge_strategy="election"
+    )
+    replay(small_events.filter("seq < 800"), t, batch_id="b1")
+
+    # rebuild the exact merge plan commit() runs for the second batch
+    from bingo2sql_spark.operators import resolve as R
+    from bingo2sql_spark.operators.apply import _merge_batch, bucket_col
+
+    b = (
+        R.to_upsert_rows(R.with_key(small_events.filter("seq >= 800")))
+        .withColumn("bucket", bucket_col(8))
+        .withColumnRenamed("_seq", "_ingest_seq")
+    )
+    cur = t._read_raw(spark)
+    cols = t.latest_manifest()["columns"]
+    for c in cols:
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None).cast("string"))
+    from bingo2sql_spark.operators.apply import INTERNAL_COLS
+
+    b = b.select(*cols, *INTERNAL_COLS)
+    cur = cur.select(*cols, *INTERNAL_COLS)
+    plan = _plan(_merge_batch(cur, b, cols, False, 8, elect=True))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "partial_max" in plan or "partial_finalmerge" in plan or (
+        "HashAggregate" in plan and "keys=[repo" in plan
+    ), plan
+    # the bucket repartition must consume the semi-join output: below
+    # the hashpartitioning(bucket...) exchange there is a semi join
+    seg = plan.split("Exchange hashpartitioning(bucket")[-1]
+    assert "LeftSemi" in seg, seg

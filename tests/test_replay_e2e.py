@@ -915,3 +915,63 @@ def test_incremental_minhash_matches_full_recompute(spark, small_events, tmp_pat
     a = {tuple(r) for r in incr.select(*cols).collect()}
     b = {tuple(r) for r in full.select(*cols).collect()}
     assert a == b and a
+
+
+def test_merge_strategy_election_converges(spark, small_events, events_pdf, tmp_path):
+    """Key-only winner election (VERDICT r4 #1) is plan-shape only:
+    forced-election tables converge to the sequential oracle through
+    incremental commits, overlapping re-replays (duplicate seqs on both
+    sides of the semi-join), flashback, and MOR — byte-identical state
+    to the full-shuffle plan."""
+    from bingo2sql_spark import oracle
+
+    cut = int(events_pdf["seq"].max()) // 3
+    for mode in ("cow", "mor"):
+        t = IcebergLiteTable(
+            str(tmp_path / f"el_{mode}"), n_buckets=8,
+            write_mode=mode, merge_strategy="election",
+        )
+        m1 = replay(small_events.filter(f"seq <= {cut}"), t, batch_id="p1")
+        m2 = replay(small_events.filter(f"seq > {cut}"), t, batch_id="p2")
+        assert m1["merge_plan"] == "election" and m2["merge_plan"] == "election"
+        # overlapping re-replay: stored and batch rows share seqs
+        replay(small_events.filter(f"seq > {cut // 2}"), t, batch_id="p3")
+        expected = oracle.state_checksum(oracle.sequential_apply(events_pdf))
+        assert t.state_checksum(spark) == expected, mode
+    # flashback through an electing table empties it
+    t2 = IcebergLiteTable(
+        str(tmp_path / "el_fb"), n_buckets=8, merge_strategy="election"
+    )
+    replay(small_events, t2, batch_id="f")
+    replay(small_events, t2, batch_id="rb", flashback=True)
+    assert t2.state_checksum(spark) == []
+
+
+def test_merge_strategy_auto_policy(spark, small_events, tmp_path):
+    """auto elects only when the metadata bound is KNOWN and under the
+    cap: the empty-table initial load has no pre-pass bound (full);
+    the pruned second commit elects; a tiny election_max_rows forces
+    full everywhere; MINIMAL-image commits never elect."""
+    t = IcebergLiteTable(str(tmp_path / "auto"), n_buckets=8, merge_strategy="auto")
+    m1 = replay(small_events.filter("seq < 800"), t, batch_id="a1")
+    assert m1["merge_plan"] == "full"  # no candidate bound on empty table
+    m2 = replay(small_events.filter("seq >= 800"), t, batch_id="a2")
+    assert m2["merge_plan"] == "election"
+
+    t2 = IcebergLiteTable(
+        str(tmp_path / "auto2"), n_buckets=8, merge_strategy="auto",
+        election_max_rows=10,
+    )
+    replay(small_events.filter("seq < 800"), t2, batch_id="a1")
+    m = replay(small_events.filter("seq >= 800"), t2, batch_id="a2")
+    assert m["merge_plan"] == "full"  # bound exceeded -> scalable plan
+
+    from bingo2sql_spark.sources.synth import generate_events
+
+    mev = generate_events(spark, n_keys=50, versions_per_key=4, seed=3,
+                          minimal_image=True)
+    t3 = IcebergLiteTable(str(tmp_path / "auto3"), n_buckets=8,
+                          merge_strategy="election")
+    replay(mev.filter("seq < 100"), t3, batch_id="m1", row_image="MINIMAL")
+    m = replay(mev.filter("seq >= 100"), t3, batch_id="m2", row_image="MINIMAL")
+    assert m["merge_plan"] == "full"  # per-column merge: election invalid

@@ -7,6 +7,7 @@ from __future__ import annotations
 import glob
 import json
 import time
+import urllib.error
 import urllib.request
 
 from bingo2sql_spark.service import ParseService, serve
@@ -212,5 +213,38 @@ def test_http_archive_flag(spark, tmp_path):
             urllib.request.urlopen(f"http://127.0.0.1:{port}/parse/{job_id}/download")
         )
         assert got["path"].endswith(".tar.gz")
+    finally:
+        server.shutdown()
+
+
+def test_sse_progress_push(spark, tmp_path):
+    """GET /parse/:id/events pushes progress frames until terminal —
+    the reference's 5-second websocket push (core/socket.go:34-76) as
+    Server-Sent Events: every frame is the {state, pct, ...} JSON, the
+    last frame carries the terminal state, and the stream closes."""
+    svc = ParseService(spark)
+    ev = generate_events(spark, n_keys=40, versions_per_key=3, seed=31)
+    server = serve(svc, ev, push_interval=0.2)
+    port = server.server_address[1]
+    try:
+        job_id = svc.submit(ev, str(tmp_path / "sse"), show_gtid=False)
+        frames = []
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/parse/{job_id}/events", timeout=240
+        ) as resp:
+            assert resp.headers["Content-Type"] == "text/event-stream"
+            for raw in resp:
+                line = raw.decode().strip()
+                if line.startswith("data: "):
+                    frames.append(json.loads(line[len("data: "):]))
+        assert frames and frames[-1]["state"] == "done"
+        assert frames[-1]["pct"] == 100.0
+        assert all(f["job_id"] == job_id for f in frames)
+        # unknown ids 404 before the stream starts
+        import pytest
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/parse/nope/events")
+        assert e.value.code == 404
     finally:
         server.shutdown()
