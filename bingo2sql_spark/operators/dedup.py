@@ -17,7 +17,9 @@ ints — same statistical behavior, trivially portable to any SQL oracle.
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 import uuid as _uuid
 
 from pyspark.sql import Column, DataFrame, Window
@@ -157,7 +159,11 @@ def minhash_candidate_pairs(
     logged when the plan runs (no silent caps); pass None for the exact
     uncapped pair set."""
     rows_per_band = k // bands
-    sig = minhash_signature(docs, text_col, id_col, k, shingle_n)
+    # persist the per-doc signature table (one SMALL row per doc): the
+    # self-join/cap branches reference it 3-4x, and without
+    # materialization each reference RE-RUNS the shingle explode + k-way
+    # aggregate — the expensive part of the whole operator
+    sig = minhash_signature(docs, text_col, id_col, k, shingle_n).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -414,6 +420,114 @@ def update_minhash_signatures(
     return kept.unionByName(fresh.select(*key_cols, *mh))
 
 
+class SignatureStore:
+    """A MinHash signature table maintained in LOCKSTEP with an
+    IcebergLiteTable — the continuous-curation shape at 100 TB: the
+    corpus is replicated by CDC, and each commit's changelog updates
+    signatures for the changed keys only (update_minhash_signatures),
+    never re-reading the corpus.
+
+    Layout: `<path>/snap-<table_version>/` parquet + `state.json`
+    pointing at the signature snapshot and the table version it
+    reflects. `refresh()` is IDEMPOTENT per table version and safe to
+    re-run after a crash at any point: signatures are deterministic
+    functions of content, so re-applying a changelog window re-writes
+    identical rows, and the state pointer moves only after the data is
+    durable (write-then-point, like the table's own manifest commit).
+    When the last reflected version has been EXPIRED from the table's
+    history (changes_between unavailable), refresh falls back to a full
+    bootstrap — loud in the returned metrics, never silently stale.
+
+    Drive it from streaming via `start_ingest(on_commit=...)`: the hook
+    runs inside foreachBatch AFTER the table commit is durable, so a
+    crash between commit and refresh just re-runs refresh on resume
+    (the epoch re-delivers, the table commit dedups, refresh catches
+    up from its own pointer)."""
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        text_col: str = "content",
+        k: int = 8,
+        shingle_n: int = 3,
+    ):
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.text_col = text_col
+        self.k = k
+        self.shingle_n = shingle_n
+        os.makedirs(path, exist_ok=True)
+
+    def _state(self) -> dict | None:
+        p = os.path.join(self.path, "state.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _point(self, version: int) -> None:
+        p = os.path.join(self.path, "state.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, p)
+
+    def read(self, spark) -> DataFrame:
+        st = self._state()
+        if st is None:
+            raise ValueError(f"signature store at {self.path} has no snapshot yet")
+        return spark.read.parquet(os.path.join(self.path, f"snap-{st['version']:012d}"))
+
+    def version(self) -> int | None:
+        st = self._state()
+        return None if st is None else int(st["version"])
+
+    def refresh(self, spark, table) -> dict:
+        """Catch the store up to the table's current version. Returns
+        {mode: skipped|incremental|bootstrap, from, to}."""
+        m = table.latest_manifest()
+        cur = int(m["version"]) if m else 0
+        st = self._state()
+        last = None if st is None else int(st["version"])
+        if last == cur:
+            return {"mode": "skipped", "from": last, "to": cur}
+        mode = "incremental"
+        if last is None:
+            mode = "bootstrap"
+            sigs = minhash_signature_keyed(
+                table.read(spark, version=cur) if cur else table.read(spark),
+                self.key_cols, self.text_col, self.k, self.shingle_n,
+            )
+        else:
+            try:
+                ch = table.changes_between(spark, last, cur)
+                sigs = update_minhash_signatures(
+                    self.read(spark), ch, self.key_cols, self.text_col,
+                    self.k, self.shingle_n,
+                )
+            except ValueError:
+                # the reflected version expired from table history —
+                # full bootstrap rather than silently stale signatures
+                mode = "bootstrap"
+                sigs = minhash_signature_keyed(
+                    table.read(spark, version=cur),
+                    self.key_cols, self.text_col, self.k, self.shingle_n,
+                )
+        out = os.path.join(self.path, f"snap-{cur:012d}")
+        sigs.write.mode("overwrite").parquet(out)
+        self._point(cur)
+        # GC superseded snapshots (keep the current one; readers of the
+        # previous pointer finished before _point replaced it in this
+        # single-writer maintenance model)
+        for d in os.listdir(self.path):
+            if d.startswith("snap-") and d != f"snap-{cur:012d}":
+                import shutil
+
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return {"mode": mode, "from": last, "to": cur}
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
     """SimHash per doc, computed as n_bits conditional sums in one
     codegen groupBy over exploded tokens (same values as
@@ -474,7 +588,9 @@ def simhash_pairs(
             "simhash_pairs supports max_hamming of 0 or 1; use "
             "simhash_pairs_banded for larger radii"
         )
-    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits)
+    # persist: the exact/probe branches reference the signature table
+    # 3x; see minhash_candidate_pairs for why
+    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits).persist()
     if max_bucket_size is not None:
         counts = _log_dropped(
             sig.groupBy("simhash").count(),
@@ -562,7 +678,11 @@ def simhash_pairs_banded(
             f"(pigeonhole completeness), got bands={bands}"
         )
     width = n_bits // bands
-    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits)
+    # persist: the band explode, candidate self-join and the two
+    # verification joins reference the signature table 4-5x — without
+    # materialization each re-runs the token explode + n_bits-way
+    # aggregate (measured 3-4x the whole operator's cost at 64 bits)
+    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -635,7 +755,7 @@ def ngram_jaccard_pairs(
         exploded = exploded.join(docs.select(id_col, block_col), id_col)
     posts = exploded.select(
         F.col(id_col), *([F.col(block_col)] if block_col else []), F.col("shingle").alias("s")
-    ).distinct()
+    ).distinct().persist()  # referenced by sizes, the cap count and both join sides
     sizes = posts.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_doc_freq:
         counts = _log_dropped(

@@ -66,6 +66,7 @@ def start_ingest(
     schema_ver: int = S.LATEST_SCHEMA_VER,
     row_image: str = "FULL",
     source_format: str = "envelope_parquet",
+    on_commit: Any = None,
     **filter_kwargs: Any,
 ) -> StreamingQuery:
     """Launch the ingest query. availableNow=True drains the current
@@ -104,7 +105,13 @@ def start_ingest(
 
     source_format="raw_jsonl" tails a raw-wire JSON-lines landing zone
     instead (Kafka-connect style) and decodes IN the stream — decode is
-    a pure projection, so filters still push below it."""
+    a pure projection, so filters still push below it.
+
+    `on_commit(table, metrics)` runs inside foreachBatch after each
+    durable commit — the continuous-curation hook (e.g.
+    dedup.SignatureStore.refresh keeps a signature table in lockstep
+    with the replicated corpus); exactly-once analysis in the hook-call
+    comment below."""
     if source_format == "raw_jsonl":
         from bingo2sql_spark.sources.decode import decode_events
         from bingo2sql_spark.sources.layout import stream_raw_jsonl
@@ -225,6 +232,14 @@ def start_ingest(
         m = table.commit(upserts, batch_id=f"stream-{_query_scope()}-{epoch_id}")
         m["epoch_id"] = epoch_id
         gate_state["rows"] += int(m.get("rows_in_batch") or 0)
+        if on_commit is not None:
+            # post-commit hook (e.g. dedup.SignatureStore.refresh — the
+            # continuous-curation lockstep): runs AFTER the table commit
+            # is durable, INSIDE the epoch — if it raises, the epoch is
+            # not acknowledged and re-delivers; the table commit then
+            # dedups by batch id and the hook simply retries, so a
+            # version-pointer-based hook catches up exactly once.
+            on_commit(table, m)
         with open(metrics_path, "a") as f:
             f.write(json.dumps(m) + "\n")
         if g is not None:

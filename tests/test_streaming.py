@@ -412,3 +412,74 @@ def test_stream_idle_stop_on_empty_source(spark, small_events, tmp_path):
     reasons = [m["stop_reason"] for m in read_metrics(table) if "stop_reason" in m]
     assert reasons == ["idle"]
     assert table.latest_manifest() is None  # nothing committed
+
+
+def test_signature_store_lockstep_with_stream(spark, small_events, tmp_path):
+    """Continuous curation: a SignatureStore driven by the on_commit
+    hook stays in lockstep with the streamed table — after the drain,
+    stored signatures == a full recompute over the final state; the
+    store's version pointer tracks the table head; maxFilesPerTrigger
+    forces multiple micro-batches so the incremental path (not just the
+    bootstrap) is exercised."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    land = str(tmp_path / "landing_sig")
+    _write_ordered(small_events, land)
+    table = IcebergLiteTable(str(tmp_path / "target_sig"), n_buckets=8)
+    store = DD.SignatureStore(str(tmp_path / "sigs"), ["repo", "path"], k=4)
+    modes = []
+
+    def hook(tbl, metrics):
+        modes.append(store.refresh(spark, tbl)["mode"])
+
+    q = start_ingest(
+        spark, land, table, str(tmp_path / "ckpt_sig"),
+        max_files_per_trigger=3, on_commit=hook,
+    )
+    q.awaitTermination(240)
+    assert "bootstrap" in modes[:1] and "incremental" in modes  # both paths ran
+    assert store.version() == table.latest_manifest()["version"]
+    cols = ["repo", "path"] + [f"mh{i}" for i in range(4)]
+    got = {tuple(r) for r in store.read(spark).select(*cols).collect()}
+    full = {
+        tuple(r)
+        for r in DD.minhash_signature_keyed(
+            table.read(spark), ["repo", "path"], text_col="content", k=4
+        ).select(*cols).collect()
+    }
+    assert got == full and got
+    # idempotent re-refresh: no table movement -> skipped
+    assert store.refresh(spark, table)["mode"] == "skipped"
+
+
+def test_signature_store_expired_history_bootstraps(spark, small_events, tmp_path):
+    """If the store's reflected version expires from table history, the
+    refresh falls back to a full bootstrap instead of silently staying
+    stale."""
+    from bingo2sql_spark.operators import dedup as DD
+    from bingo2sql_spark.pipeline import replay
+
+    t = IcebergLiteTable(str(tmp_path / "exp"), n_buckets=4)
+    replay(small_events.filter("seq < 400"), t, batch_id="b1")
+    store = DD.SignatureStore(str(tmp_path / "exp_sigs"), ["repo", "path"], k=4)
+    assert store.refresh(spark, t)["mode"] == "bootstrap"
+    replay(small_events.filter("seq >= 400 and seq < 800"), t, batch_id="b2")
+    replay(small_events.filter("seq >= 800"), t, batch_id="b3")
+    t.compact(spark)
+    # drop every data dir the store's old version referenced
+    import os as _os
+    for d in _os.listdir(_os.path.join(t.path, "_manifests")):
+        v = int(d.split("-")[1].split(".")[0])
+        if v <= 1:
+            _os.remove(_os.path.join(t.path, "_manifests", d))
+    r = store.refresh(spark, t)
+    assert r["mode"] == "bootstrap"
+    cols = ["repo", "path"] + [f"mh{i}" for i in range(4)]
+    got = {tuple(x) for x in store.read(spark).select(*cols).collect()}
+    full = {
+        tuple(x)
+        for x in DD.minhash_signature_keyed(
+            t.read(spark), ["repo", "path"], text_col="content", k=4
+        ).select(*cols).collect()
+    }
+    assert got == full
