@@ -115,19 +115,28 @@ def main() -> None:
         if "PREP_DONE" not in prep.stdout:
             raise RuntimeError(f"prep failed:\n{prep.stderr[-2000:]}")
 
+        # INTERLEAVE the two levels (N, 4N, N, 4N, ...): the box's
+        # throughput drifts up to ~40% between windows minutes apart, so
+        # running all small-level JVMs then all big-level JVMs lets one
+        # window own one level and biases the RATIO (observed round 5:
+        # an un-interleaved zstd control read 0.67 purely from a slow
+        # window owning the 4N block). Alternation spreads any drift
+        # across both levels; min-of-runs then rejects the slow windows
+        # per level symmetrically.
+        times: dict[int, list[float]] = {args.n: [], args.n * 4: []}
+        for _ in range(args.runs):
+            for cores in (args.n, args.n * 4):
+                times[cores].append(run_one(cores, raw_dir, args.events, args.wire))
         results = {}
-        for cores in (args.n, args.n * 4):
-            times = sorted(
-                run_one(cores, raw_dir, args.events, args.wire) for _ in range(args.runs)
-            )
-            best = times[0]
+        for cores, ts in times.items():
+            ts = sorted(ts)
             results[cores] = {
                 "cores": cores,
                 "events": args.events,
                 "runs": args.runs,
-                "best_secs": best,
-                "all_secs": times,
-                "events_per_sec": round(args.events / best, 1),
+                "best_secs": ts[0],
+                "all_secs": ts,
+                "events_per_sec": round(args.events / ts[0], 1),
             }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -141,8 +150,9 @@ North rule criterion: CDC replay throughput scaling efficiency >= 0.8
 between N and 4N executors. Sandbox protocol (no real cluster): the
 IDENTICAL job — raw wire events ({args.wire} row images) -> decode ->
 filters -> per-key LWW -> Iceberg-lite MERGE commit — on the same tmpfs input,
-one timed run per FRESH JVM pinned with taskset to local[8] vs
-local[32] core budgets, best of {args.runs} JVMs per level (see
+one timed run per FRESH JVM pinned with taskset to its core budget,
+LEVELS INTERLEAVED (N, 4N, N, 4N, ...) so window drift cannot own one
+level, best of {args.runs} JVMs per level (see
 run_scaling.py header for why pinning + fresh JVMs + tmpfs + minimum
 are required for a clean signal on this shared hypervisor).
 
