@@ -499,6 +499,40 @@ def _q_minhash_signature(spark, sf_dir):
     return DD.minhash_signature(docs, k=4)
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Exact duplicate-SPAN detection (C4-style boilerplate signal):
+    16-token hash windows at stride 8; a doc's dup_ratio = fraction of
+    its distinct spans occurring in >= 2 docs. 1/3 of the docs get an
+    exact twin, so their every span is duplicated (ratio 1.0) while the
+    rest surface only organic span collisions — non-vacuous both ways."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    partial = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return DD.duplicate_span_stats(partial, window=16, stride=8)
+
+
+def _q_corpus_stats(spark, sf_dir):
+    """Per-source corpus health rollup: doc counts, corpus-wide
+    exact-dup share attributed per source, mean quality, exact p50/p90
+    token counts (percentile_cont semantics, mirrored bit-for-bit)."""
+    from bingo2sql_spark.operators.stats import corpus_stats_by_source
+
+    docs = _t(spark, sf_dir, "documents")
+    # seed exact duplicates so dup_docs is non-vacuous: every 11th doc
+    # reappears under a different id (same source via its twin's row)
+    seeded = docs.unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return corpus_stats_by_source(seeded)
+
+
 def _q_incremental_minhash(spark, sf_dir):
     """Incremental dedup over the changelog (VERDICT r4 #9, the 100 TB
     continuous-curation story): signatures computed at snapshot v1 are
@@ -1040,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signature": _q_minhash_signature,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_incremental_minhash": _q_incremental_minhash,
+        "dedup_span_ratio": _q_span_dedup,
+        "corpus_stats_by_source": _q_corpus_stats,
         "dedup_connected_keepers": _q_connected_keepers,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -1376,6 +1412,47 @@ SELECT doc_id,
        list_min(list_transform(_sh, s -> md5('3:' || s))) AS mh3
 FROM (SELECT doc_id, {_SHINGLES} AS _sh
       FROM (SELECT doc_id, {_WORDS} AS _w FROM documents))
+"""
+    # duplicate-span detection: distinct 16-token/stride-8 span hashes,
+    # doc-frequency >= 2 flags a span (DuckDB list slice l[a:b] is
+    # 1-based end-inclusive = Spark slice(t, a, b-a+1))
+    q["dedup_span_ratio"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+t AS (SELECT doc_id, {_WORDS} AS toks FROM d),
+sp AS (SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(0, greatest(CAST(floor((len(toks) - 16) / 8) AS INT) + 1, 1) - 1),
+           i -> md5(array_to_string(toks[i*8+1 : i*8+16], ' ')))) AS spans
+       FROM t),
+e AS (SELECT doc_id, unnest(spans) AS s FROM sp),
+f AS (SELECT s, count(DISTINCT doc_id) AS df FROM e GROUP BY s)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       round(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
+FROM e JOIN f USING (s) GROUP BY e.doc_id
+"""
+    # per-source rollup: corpus-wide digest counts, exact percentile_cont
+    q["corpus_stats_by_source"] = f"""
+WITH dd AS (SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 11 = 0),
+b AS (SELECT doc_id, source, md5(text) AS dg, len({_WORDS}) AS nt, {_WORDS} AS _w
+      FROM dd),
+b2 AS (SELECT doc_id, source, dg, nt,
+         round((CASE WHEN nt >= 20 THEN 1.0 ELSE CAST(nt AS double)/20.0 END)
+           * (CASE WHEN round(CAST(len(list_filter(_w, x -> lower(x) IN ('the','a','of','and','to','in'))) AS double)/len(_w), 4) BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN round(CAST(list_sum(list_transform(_w, x -> length(x))) AS double)/len(_w), 4) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4) AS q
+       FROM b),
+c AS (SELECT dg, count(*) AS copies FROM b2 GROUP BY dg)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       round(avg(q), 4) AS avg_quality,
+       round(quantile_cont(nt, 0.5), 2) AS p50_tokens,
+       round(quantile_cont(nt, 0.9), 2) AS p90_tokens
+FROM b2 JOIN c USING (dg) GROUP BY source ORDER BY source
 """
     # incremental signature maintenance == full recompute on the final
     # state: stream = all v0+v1 events plus the v2 tail of doc_id%3==0

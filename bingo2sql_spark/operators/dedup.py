@@ -420,6 +420,66 @@ def update_minhash_signatures(
     return kept.unionByName(fresh.select(*key_cols, *mh))
 
 
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the C4/RefinedWeb-style signal
+    for boilerplate shared across documents that whole-doc hashing
+    misses and MinHash only scores in aggregate: slide a `window`-token
+    hash window at `stride` over each doc, count how many of a doc's
+    distinct spans also occur in ANOTHER doc.
+
+    Returns (id, n_spans, dup_spans, dup_ratio): n_spans = the doc's
+    DISTINCT span count (docs shorter than `window` contribute one
+    whole-doc span), dup_spans = how many of those appear in >= 2 docs,
+    dup_ratio = dup_spans / n_spans (the drop/trim signal; curation
+    typically trims docs past ~0.5).
+
+    Scale shape: span hashes explode to one row per (doc, distinct
+    span); the global doc-frequency groupBy is the only wide exchange
+    (map-side combined counts — never a pairwise join, so no quadratic
+    bucket risk), and the dup flag comes back via one hash join on the
+    span. Work scales with total tokens / stride."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(t)
+    n_spans = F.greatest(
+        (F.floor((n - window) / stride) + 1).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_spans - 1)
+    spans = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i * stride + 1, window))),
+        )
+    )
+    per_doc = docs.select(F.col(id_col), F.explode(spans).alias("_span"))
+    freq = per_doc.groupBy("_span").agg(F.countDistinct(id_col).alias("_df"))
+    dup = freq.filter(F.col("_df") >= 2).select("_span")
+    flagged = per_doc.join(dup, "_span", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("dup_spans")
+    )
+    totals = per_doc.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(flagged, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.coalesce(F.col("dup_spans"), F.lit(0)).cast("double")
+                / F.col("n_spans"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 class SignatureStore:
     """A MinHash signature table maintained in LOCKSTEP with an
     IcebergLiteTable — the continuous-curation shape at 100 TB: the

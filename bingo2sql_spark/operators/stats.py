@@ -51,3 +51,46 @@ def compute_percent(sizes: list[int], current_file_idx: int, current_pos: int) -
         return 0.0
     done = sum(sizes[:current_file_idx]) + min(current_pos, sizes[current_file_idx] if current_file_idx < len(sizes) else 0)
     return min(100.0, round(done * 100.0 / total, 2))
+
+
+def corpus_stats_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source (per-domain) corpus health report — the first table a
+    training-data pipeline owner reads: doc counts, exact-duplicate
+    share (corpus-wide digests, attributed to each source), mean
+    quality, and EXACT token-count percentiles (p50/p90, linear
+    interpolation — identical definition to ANSI percentile_cont, so
+    the oracle mirrors it bit-for-bit after rounding).
+
+    Scale shape: two aggregations (per-digest counts map-side combined,
+    then per-source rollup) + one broadcast-size join of the digest
+    counts back; exact percentiles group per source — sources are the
+    partition key, so state is bounded per group and skewless given a
+    sane source cardinality (use approx_percentile beyond ~10^5 rows
+    per source if memory bounds bite)."""
+    from bingo2sql_spark.functions import text as TX
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_digest"),
+        TX.token_count(F.col(text_col)).alias("_n_tokens"),
+        TX.quality_score(F.col(text_col)).alias("_quality"),
+    )
+    digest_counts = base.groupBy("_digest").agg(F.count("*").alias("_copies"))
+    j = base.join(digest_counts, "_digest")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_copies") >= 2, 1).otherwise(0)).alias("dup_docs"),
+            F.round(F.avg("_quality"), 4).alias("avg_quality"),
+            F.round(F.percentile(F.col("_n_tokens"), F.lit(0.5)), 2).alias("p50_tokens"),
+            F.round(F.percentile(F.col("_n_tokens"), F.lit(0.9)), 2).alias("p90_tokens"),
+        )
+        .orderBy("source")
+    )

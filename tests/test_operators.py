@@ -829,3 +829,58 @@ def test_pii_patterns_match_python_re(spark):
     for i, s in enumerate(cases):
         want = _re.sub(PII_IPV4, "<IP>", _re.sub(PII_EMAIL, "<EMAIL>", s))
         assert got[i] == want, (s, got[i], want)
+
+
+def test_duplicate_span_stats_hand_golden(spark):
+    """Span dedup semantics: an exact twin duplicates every span
+    (ratio 1.0); a doc sharing only its first window with another is
+    flagged on exactly that span; short docs contribute one whole-doc
+    span; a unique doc reads 0.0."""
+    from bingo2sql_spark.operators.dedup import duplicate_span_stats
+
+    w = " ".join(f"w{i}" for i in range(8))       # 8 tokens = one window
+    other = " ".join(f"z{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, w + " " + other),   # spans: [w0..w7], [w4..z3], [z0..z7]
+            (2, w + " " + other),   # exact twin of 1
+            (3, w),                 # shares span [w0..w7] only
+            (4, "totally different words here"),  # short, unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_ratio"])
+        for r in duplicate_span_stats(docs, window=8, stride=4).collect()
+    }
+    assert out[1] == (3, 3, 1.0) and out[2] == (3, 3, 1.0)
+    assert out[3] == (1, 1, 1.0)   # its single span exists in docs 1/2
+    assert out[4] == (1, 0, 0.0)
+    # validation
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        duplicate_span_stats(docs, window=0)
+
+
+def test_corpus_stats_by_source_hand_golden(spark):
+    """Per-source rollup: exact-dup docs counted corpus-wide but
+    attributed per source; exact interpolated percentiles."""
+    from bingo2sql_spark.operators.stats import corpus_stats_by_source
+
+    t10 = " ".join(f"a{i}" for i in range(10))
+    t20 = " ".join(f"b{i}" for i in range(20))
+    t30 = " ".join(f"c{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, t10, "s1"), (2, t20, "s1"), (3, t30, "s1"),
+            (4, t10, "s2"),  # cross-source exact dup of doc 1
+            (5, "unique words entirely", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in corpus_stats_by_source(docs).collect()}
+    assert rows["s1"]["n_docs"] == 3 and rows["s1"]["dup_docs"] == 1
+    assert rows["s2"]["n_docs"] == 2 and rows["s2"]["dup_docs"] == 1
+    # exact percentile_cont over [10, 20, 30]: p50 = 20, p90 = 28
+    assert rows["s1"]["p50_tokens"] == 20.0 and rows["s1"]["p90_tokens"] == 28.0
