@@ -84,6 +84,110 @@ _SESSION_OUT = T.StructType(
 )
 
 
+_DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ttl: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming EXACT dedup — admit only the first document per content
+    digest, across the whole stream (the online arm of
+    dedup.exact_dedup_groups; a continuously-curated corpus dedups at
+    ingest instead of re-scanning).
+
+    Custom stateful operator keyed by md5(text): state is ONE tiny
+    boolean row per distinct digest ever seen. Within a micro-batch,
+    ties break deterministically to the smallest id; across batches the
+    FIRST ARRIVAL wins (arrival order is the only order a stream has —
+    equal to the batch keeper whenever ids arrive in order). Duplicate
+    rows are dropped, admitted rows pass through as (id, digest).
+
+    State growth is one row per DISTINCT document — the honest cost of
+    exact online dedup. `ttl` (e.g. "72 hours") bounds it: a digest
+    whose last occurrence's EVENT TIME falls `ttl` behind the watermark
+    is evicted and a later copy would be re-admitted — the standard
+    trade; requires the stream to carry `ts_col` (watermarked here).
+    The TTL rides an EVENT-time timeout deliberately:
+    applyInPandasWithState + ProcessingTimeTimeout hard-crashes the
+    Arrow worker in this Spark build (minimal repro, no Python frame
+    reaches the handler) while EventTimeTimeout is solid — and an
+    event-time TTL is also the replay-deterministic definition."""
+    ttl_ms = None
+    if ttl is not None:
+        import re as _re
+
+        m = _re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day)s?\s*", ttl)
+        if not m:
+            raise ValueError(f"ttl {ttl!r} must look like '<n> hours'")
+        ttl_ms = int(m.group(1)) * {
+            "second": 1_000,
+            "minute": 60_000,
+            "hour": 3_600_000,
+            "day": 86_400_000,
+        }[m.group(2)]
+        if ts_col not in stream.columns:
+            raise ValueError(
+                f"ttl needs the event-time column {ts_col!r} on the stream "
+                "(event-time TTL; see docstring)"
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("digest", T.StringType()),
+        ]
+    )
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (digest,) = key
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction: digest may be re-admitted later
+            return
+        rows = pd.concat(list(pdfs))
+        admitted = state.exists
+        if not admitted:
+            state.update((True,))
+        if ttl_ms is not None:
+            # evict when the watermark passes last-seen + ttl; must be
+            # strictly beyond the current watermark
+            last_ms = int(rows["_ts"].astype("int64").max()) // 1_000_000
+            state.setTimeoutTimestamp(
+                max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if admitted:
+            return  # already admitted in an earlier batch
+        yield pd.DataFrame(
+            {id_col: [int(rows[id_col].min())], "digest": [digest]}
+        )
+
+    cols = [F.col(id_col), F.md5(F.col(text_col)).alias("digest")]
+    src = stream
+    if ttl_ms is not None:
+        src = stream.withWatermark(ts_col, watermark)
+        cols.append(F.col(ts_col).alias("_ts"))
+    keyed = src.select(*cols)
+    return keyed.groupBy("digest").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def sessionize_stream(
     stream: DataFrame,
     gap_secs: int = 1800,

@@ -200,3 +200,70 @@ def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
     assert (8, 0, 3000, 3) in got, got        # middle event bridged the two
     assert not any(u == 99 for u, *_ in got)
     assert len(got) == 3
+
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _land_docs(spark, rows, path, mtime_bump=0):
+    df = spark.createDataFrame(rows, _DOC_SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(path + "_stage")
+    os.makedirs(path, exist_ok=True)
+    import shutil
+
+    for f in os.listdir(path + "_stage"):
+        if f.endswith(".parquet"):
+            dst = os.path.join(path, f"{mtime_bump}-{f}")
+            shutil.copy(os.path.join(path + "_stage", f), dst)
+            now = time.time() + mtime_bump
+            os.utime(dst, (now, now))
+
+
+def test_dedup_stream_admits_first_only(spark, tmp_path):
+    """Online exact dedup: one admitted row per distinct digest across
+    micro-batches — a cross-batch duplicate is dropped (first arrival
+    wins), within-batch ties break to the smallest id, and the admitted
+    set equals batch exact_dedup_groups keepers when ids arrive in
+    order."""
+    from bingo2sql_spark.operators.dedup import exact_dedup_groups
+    from bingo2sql_spark.streaming.analytics import dedup_stream
+
+    land = str(tmp_path / "dl")
+    # batch 1: docs 1..3 (3 has a within-batch twin 4)
+    _land_docs(spark, [(1, "alpha beta"), (2, "gamma delta"),
+                       (3, "twin text"), (4, "twin text")], land, mtime_bump=0)
+    # batch 2: 5 duplicates doc 1 (cross-batch dup), 6 is new
+    _land_docs(spark, [(5, "alpha beta"), (6, "epsilon zeta")], land, mtime_bump=2)
+    stream = spark.readStream.schema(_DOC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(land)
+    out = str(tmp_path / "dout")
+    q = (
+        dedup_stream(stream).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", str(tmp_path / "dckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["doc_id"], r["digest"])
+        for r in spark.read.parquet(out).collect()
+    }
+    ids = {i for i, _ in got}
+    assert ids == {1, 2, 3, 6}, got  # 4 = within-batch dup, 5 = cross-batch dup
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "twin text"),
+         (4, "twin text"), (5, "alpha beta"), (6, "epsilon zeta")], _DOC_SCHEMA)
+    keepers = {r["keeper_id"] for r in exact_dedup_groups(batch).collect()}
+    assert ids == keepers  # in-order arrival: stream == batch keepers
+    # bad ttl is loud; ttl without an event-time column is loud
+    import pytest as _p
+
+    with _p.raises(ValueError, match="ttl"):
+        dedup_stream(stream, ttl="soonish")
+    with _p.raises(ValueError, match="event-time"):
+        dedup_stream(stream, ttl="72 hours")  # doc stream has no ts col
