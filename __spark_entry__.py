@@ -1449,7 +1449,7 @@ c AS (SELECT dg, count(*) AS copies FROM b2 GROUP BY dg)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN c.copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
-       round(avg(q), 4) AS avg_quality,
+       round(sum(CAST(round(q * 10000) AS BIGINT)) / (10000.0 * count(*)), 4) AS avg_quality,
        round(quantile_cont(nt, 0.5), 2) AS p50_tokens,
        round(quantile_cont(nt, 0.9), 2) AS p90_tokens
 FROM b2 JOIN c USING (dg) GROUP BY source ORDER BY source

@@ -79,7 +79,13 @@ def corpus_stats_by_source(
         F.col(source_col).alias("source"),
         F.md5(F.col(text_col)).alias("_digest"),
         TX.token_count(F.col(text_col)).alias("_n_tokens"),
-        TX.quality_score(F.col(text_col)).alias("_quality"),
+        # quality is 4dp-rounded; scale to an exact integer BEFORE the
+        # mean so the sum is order-independent — a double sum's last
+        # ulp depends on partition order and flips the 4dp rounding of
+        # the mean between engines (found at sf0.01)
+        F.round(TX.quality_score(F.col(text_col)) * 10000, 0)
+        .cast("long")
+        .alias("_q10k"),
     )
     digest_counts = base.groupBy("_digest").agg(F.count("*").alias("_copies"))
     j = base.join(digest_counts, "_digest")
@@ -88,7 +94,9 @@ def corpus_stats_by_source(
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.when(F.col("_copies") >= 2, 1).otherwise(0)).alias("dup_docs"),
-            F.round(F.avg("_quality"), 4).alias("avg_quality"),
+            F.round(
+                F.sum("_q10k") / (10000.0 * F.count("*")), 4
+            ).alias("avg_quality"),
             F.round(F.percentile(F.col("_n_tokens"), F.lit(0.5)), 2).alias("p50_tokens"),
             F.round(F.percentile(F.col("_n_tokens"), F.lit(0.9)), 2).alias("p90_tokens"),
         )
