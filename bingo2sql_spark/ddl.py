@@ -193,14 +193,19 @@ _COL_RE = re.compile(
     r"^" + _IDENT.format(tag="c") + r"\s+(?P<type>[A-Za-z][A-Za-z0-9_]*)",
 )
 
+# the key list is captured GREEDILY to the constraint item's last ')':
+# items are already split at top-level commas, and prefix-length key
+# parts — `PRIMARY KEY (name(10), id)`, standard MySQL for text keys —
+# contain inner parens that a lazy [^)]* would stop at, silently
+# dropping every later key column (an under-constrained WHERE clause)
 _PK_CONSTRAINT_RE = re.compile(
-    r"^(?:CONSTRAINT\s+(?:`[^`]+`|\S+)\s+)?PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)",
-    re.IGNORECASE,
+    r"^(?:CONSTRAINT\s+(?:`[^`]+`|\S+)\s+)?PRIMARY\s+KEY\s*\((?P<cols>.*)\)",
+    re.IGNORECASE | re.DOTALL,
 )
 _UNIQUE_CONSTRAINT_RE = re.compile(
     r"^(?:CONSTRAINT\s+(?:`[^`]+`|\S+)\s+)?UNIQUE(?:\s+(?:KEY|INDEX))?"
-    r"(?:\s+(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*))?\s*\((?P<cols>[^)]*)\)",
-    re.IGNORECASE,
+    r"(?:\s+(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*))?\s*\((?P<cols>.*)\)",
+    re.IGNORECASE | re.DOTALL,
 )
 
 _GENERATED_RE = re.compile(

@@ -294,7 +294,11 @@ def _render_with_registry(ev: DataFrame, registry: dict, render_one) -> DataFram
     payload_fields = [f.name for f in ev.schema["after"].dataType.fields]
     parts: list[DataFrame] = []
     seen = F.lit(False)
-    for key, meta in registry.items():
+    # db-QUALIFIED entries claim their events first (ddl.lookup /
+    # cacheNewTable precedence): an unqualified `t` declared before
+    # `db1.t` must not swallow db1's events via the earlier ~seen guard
+    ordered = sorted(registry.items(), key=lambda kv: (not kv[1].db, kv[0]))
+    for key, meta in ordered:
         unknown = [c for c in meta.valid_columns if c not in payload_fields]
         if unknown:
             raise ValueError(

@@ -754,13 +754,13 @@ class IcebergLiteTable:
                     lin = m.get("lineage", {})
                     stored_est = 0
                     for bk in affected:
-                        b = str(bk)
-                        if b in br_map:
-                            stored_est += int(br_map[b].get("base", 0)) + int(
-                                br_map[b].get("delta", 0)
+                        bkey = str(bk)  # NB: must not shadow the batch df `b`
+                        if bkey in br_map:
+                            stored_est += int(br_map[bkey].get("base", 0)) + int(
+                                br_map[bkey].get("delta", 0)
                             )
-                        elif b in lin:
-                            stored_est += int(lin[b].get("rows") or 0)
+                        elif bkey in lin:
+                            stored_est += int(lin[bkey].get("rows") or 0)
                     elect = (
                         stored_est + batch_counts["rows"] <= self.election_max_rows
                     )
@@ -788,14 +788,23 @@ class IcebergLiteTable:
         bucket_rows = {bk: dict(v) for bk, v in m.get("bucket_rows", {}).items()}
         for bk, st in written.items():
             if mor:
+                had_prior_deltas = bool(m.get("deltas", {}).get(bk))
                 deltas.setdefault(bk, []).append(new_version)
                 br = bucket_rows.get(bk)
-                if br is None:
+                if br is None and not had_prior_deltas:
                     # pure-MOR tables never write a base until compaction:
                     # the bucket's FIRST delta plays the base's role in
                     # the amplification ratio (reading one file is the
                     # ideal; every further delta is the overhead)
                     bucket_rows[bk] = {"base": st["rows"], "delta": 0}
+                elif br is None:
+                    # manifest predates bucket_rows (upgraded table):
+                    # prior delta volume is unknown, so seeding this
+                    # delta as the "base" would hide real amplification
+                    # from the policy forever. base=0 makes the ratio
+                    # read as over-threshold instead — one compaction
+                    # then establishes truthful bookkeeping.
+                    bucket_rows[bk] = {"base": 0, "delta": st["rows"]}
                 else:
                     br["delta"] += st["rows"]
             else:

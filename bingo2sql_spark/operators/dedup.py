@@ -64,6 +64,17 @@ def _log_dropped(
     return counts
 
 
+def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
+    """The pair generators' self-join/cap branches reference their
+    per-doc signature/posting table 3-5x, and each reference would
+    re-run the shingle-explode + aggregate subtree — persist (default)
+    materializes the SMALL table once. The blocks live for the session;
+    a long-lived driver issuing many dedup calls should either pass
+    persist=False (tables are recomputed per branch, no storage growth)
+    or clear them in bulk via spark.catalog.clearCache()."""
+    return df.persist() if persist else df
+
+
 def _exploded_shingles(
     docs: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
@@ -139,6 +150,7 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     max_bucket_size: int | None = 5000,
     log_dropped: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` bands of k/bands rows;
     docs sharing any band digest become candidate pairs (id_a < id_b).
@@ -163,7 +175,7 @@ def minhash_candidate_pairs(
     # self-join/cap branches reference it 3-4x, and without
     # materialization each reference RE-RUNS the shingle explode + k-way
     # aggregate — the expensive part of the whole operator
-    sig = minhash_signature(docs, text_col, id_col, k, shingle_n).persist()
+    sig = _maybe_persist(minhash_signature(docs, text_col, id_col, k, shingle_n), persist)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -373,8 +385,19 @@ def minhash_signature_keyed(
     (repo, path)): packs the key into one join column, signs, unpacks.
     Rows with NULL text drop out (nothing to fingerprint) — identical
     to the single-key path's behavior."""
+    # INJECTIVE key packing: base64 each part (its alphabet excludes the
+    # separator) and give NULL its own sentinel — plain concat_ws both
+    # SKIPS null args and passes raw bytes through, so ('a', NULL) and
+    # (NULL, 'a') would collide into one _ckey and share a merged,
+    # wrong signature
+    parts = [
+        F.coalesce(
+            F.base64(F.encode(F.col(c).cast("string"), "UTF-8")), F.lit("\x00")
+        )
+        for c in key_cols
+    ]
     packed = docs.select(
-        F.concat_ws("\x1f", *key_cols).alias("_ckey"),
+        F.concat_ws("\x1f", *parts).alias("_ckey"),
         *key_cols,
         F.col(text_col).alias("_text"),
     )
@@ -410,7 +433,14 @@ def update_minhash_signatures(
     O(corpus) — the point of maintaining signatures incrementally."""
     mh = [f"mh{i}" for i in range(k)]
     changed_keys = changes.select(*key_cols).distinct()
-    kept = sigs.select(*key_cols, *mh).join(changed_keys, key_cols, "left_anti")
+    left = sigs.select(*key_cols, *mh)
+    # null-SAFE anti join: a deleted null-keyed signature must still be
+    # evicted (plain column equality never matches NULLs)
+    cond = None
+    for c in key_cols:
+        eq = left[c].eqNullSafe(changed_keys[c])
+        cond = eq if cond is None else (cond & eq)
+    kept = left.join(changed_keys, cond, "left_anti")
     live = changes.filter(F.col("op") != "delete").select(
         *key_cols, F.col(f"after.{text_col}").alias("_t")
     )
@@ -624,6 +654,7 @@ def simhash_pairs(
     max_hamming: int = 1,
     max_bucket_size: int | None = 5000,
     log_dropped: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash signature adjacency:
     (id_a, id_b, hamming) for pairs at Hamming distance 0 (identical
@@ -650,7 +681,10 @@ def simhash_pairs(
         )
     # persist: the exact/probe branches reference the signature table
     # 3x; see minhash_candidate_pairs for why
-    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits).persist()
+    sig = _maybe_persist(
+        simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits),
+        persist,
+    )
     if max_bucket_size is not None:
         counts = _log_dropped(
             sig.groupBy("simhash").count(),
@@ -706,6 +740,7 @@ def simhash_pairs_banded(
     max_hamming: int = 3,
     max_bucket_size: int | None = 5000,
     log_dropped: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash with BANDED probe tables — the
     Manku/Jain/Sarma web-dedup layout (WWW'07) the production world runs
@@ -742,7 +777,10 @@ def simhash_pairs_banded(
     # verification joins reference the signature table 4-5x — without
     # materialization each re-runs the token explode + n_bits-way
     # aggregate (measured 3-4x the whole operator's cost at 64 bits)
-    sig = simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits).persist()
+    sig = _maybe_persist(
+        simhash_signatures(docs, text_col=text_col, id_col=id_col, n_bits=n_bits),
+        persist,
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -796,6 +834,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     max_doc_freq: int | None = 1000,
     log_dropped: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard via an INVERTED INDEX: explode distinct
     shingles, self-join on the shingle (within the optional block),
@@ -815,7 +854,8 @@ def ngram_jaccard_pairs(
         exploded = exploded.join(docs.select(id_col, block_col), id_col)
     posts = exploded.select(
         F.col(id_col), *([F.col(block_col)] if block_col else []), F.col("shingle").alias("s")
-    ).distinct().persist()  # referenced by sizes, the cap count and both join sides
+    ).distinct()
+    posts = _maybe_persist(posts, persist)  # sizes, cap count, both join sides
     sizes = posts.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_doc_freq:
         counts = _log_dropped(

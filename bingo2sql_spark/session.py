@@ -8,6 +8,7 @@ here is a standard public Spark conf.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -57,7 +58,12 @@ def get_spark(
         # network. BINGO_SPARK_CONF/extra_conf still override.
         .config(
             "spark.shuffle.compress",
-            "false" if (master or f"local[{cpus}]").startswith("local") else "true",
+            # match single-JVM masters only: 'local' / 'local[N]' /
+            # 'local[*,F]' — NOT 'local-cluster[...]', whose executors
+            # are separate JVMs shuffling through disk
+            "false"
+            if re.fullmatch(r"local(\[[^\]]*\])?", master or f"local[{cpus}]")
+            else "true",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

@@ -84,7 +84,15 @@ _SESSION_OUT = T.StructType(
 )
 
 
-_DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+#: dedup_stream state: admitted flag + the max EVENT time ever seen for
+#: the digest — the TTL deadline must ratchet forward only (a late
+#: in-watermark duplicate must not pull the eviction earlier)
+_DEDUP_STATE = T.StructType(
+    [
+        T.StructField("seen", T.BooleanType()),
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
 
 
 def dedup_stream(
@@ -154,12 +162,18 @@ def dedup_stream(
             return
         rows = pd.concat(list(pdfs))
         admitted = state.exists
-        if not admitted:
-            state.update((True,))
+        prev_last = int(state.get[1]) if admitted and state.get[1] is not None else 0
+        last_ms = prev_last
         if ttl_ms is not None:
-            # evict when the watermark passes last-seen + ttl; must be
-            # strictly beyond the current watermark
-            last_ms = int(rows["_ts"].astype("int64").max()) // 1_000_000
+            # max event time across this batch AND everything stored —
+            # the deadline only ratchets forward (a late in-watermark
+            # duplicate must not pull eviction earlier); NaT rows are
+            # excluded (astype on NaT yields INT64_MIN)
+            ts = rows["_ts"].dropna()
+            if len(ts):
+                last_ms = max(prev_last, int(ts.astype("int64").max()) // 1_000_000)
+        state.update((True, last_ms))
+        if ttl_ms is not None:
             state.setTimeoutTimestamp(
                 max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
             )

@@ -230,3 +230,54 @@ def test_registry_rejects_unknown_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="nope"):
         generate_sql(ev, str(tmp_path / "out"), table_schema=schema)
+
+
+def test_prefix_length_key_parts():
+    """MySQL prefix-length key parts — PRIMARY KEY (name(10), id) — must
+    not truncate the key list at the inner ')' (review r5: the lazy
+    capture dropped every later key column, under-constraining WHERE)."""
+    t = parse_create_table(
+        "CREATE TABLE p (name varchar(200), id int, v text, "
+        "PRIMARY KEY (name(10), id))"
+    )
+    assert t.key_columns == ["name", "id"]
+    u = parse_create_table(
+        "CREATE TABLE u (a text, b int, UNIQUE KEY uq (a(16), b))"
+    )
+    assert u.key_columns == ["a", "b"]
+
+
+def test_registry_rendering_qualified_precedence(spark, tmp_path):
+    """A db-qualified entry must claim its events even when an
+    unqualified same-name table appears EARLIER in the schema file
+    (cacheNewTable precedence; review r5: statement-order iteration let
+    the unqualified entry swallow them)."""
+    from bingo2sql_spark.api import generate_sql
+    from bingo2sql_spark.sources.synth import generate_events
+
+    ev = generate_events(spark, n_keys=40, versions_per_key=8, seed=17)
+    schema = _write_schema(
+        tmp_path,
+        # unqualified first — with UNIQUE(repo) it would render WHERE
+        # `repo`= only; the qualified entry pins PRIMARY KEY (repo, path)
+        """CREATE TABLE repo_files (
+             repo varchar(200), path varchar(500), commit varchar(64),
+             lang varchar(32), content longtext, UNIQUE KEY uq (repo));
+           CREATE TABLE test.repo_files (
+             repo varchar(200), path varchar(500), commit varchar(64),
+             lang varchar(32), content longtext,
+             PRIMARY KEY (repo, path));""",
+    )
+    out = str(tmp_path / "outp")
+    generate_sql(ev, out, table_schema=schema, sql_type=["delete"])
+    import glob
+
+    deletes = [
+        ln
+        for f in sorted(glob.glob(out + "/part-*"))
+        for ln in open(f)
+        if ln.startswith("DELETE")
+    ]
+    assert deletes
+    # events are db='test' -> the QUALIFIED entry's composite key wins
+    assert all("`repo`=" in ln and "`path`=" in ln for ln in deletes)
