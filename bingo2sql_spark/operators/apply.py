@@ -160,19 +160,20 @@ def _per_key_winners(
     stored as a MOR delta — the delta row is itself re-merged at read
     time and must still say which columns it actually carries.
 
-    MINIMAL-image convergence contract (ADVICE r4): the collapse stores
-    one row-level `_ingest_seq` (the row max) for the union of
-    `_changed_cols`, so a column written by an OLDER contributor
-    inherits the newest contributor's seq once persisted (both in COW
-    partial state and in MOR partial deltas — the modes agree). Final
-    state is therefore guaranteed order-independent only when each
-    key's events arrive in seq order ACROSS commits (the normal binlog
-    tail: commits partition the stream in order). An ad-hoc MINIMAL
-    replay whose seqs interleave an already-committed range can lose a
-    per-column LWW race it should win; replay such ranges as FULL
-    images, or replay the whole range from the checkpoint (both exact).
-    Within a single commit the per-column max(struct(seq, v)) is exact
-    for any input order."""
+    PER-COLUMN SEQ ATTRIBUTION (the full fix for ADVICE r4): partial
+    output rows always carry `_col_seqs: map<col, winning seq>` — the
+    seq of the contributor that actually wrote each column — and
+    collapsed rows re-entering a later merge use the MAP, not the
+    row-level max, as each column's seq. That makes MINIMAL-image
+    state order-independent ACROSS commits too: an out-of-order ad-hoc
+    replay with an interleaving seq wins or loses each column against
+    the column's true writer, never against an unrelated newer
+    contributor's row seq. Presence for map-carrying rows is map
+    membership with a non-null seq — a never-written (NULL-since-birth)
+    column carries a null map entry and loses to ANY real writer, while
+    a genuinely-written NULL value keeps its writer's seq. Raw event
+    rows (no map) attribute every present column to the event's own
+    seq, which is exactly what the event did."""
     data_cols = [c for c in all_cols if c not in S.MERGE_KEYS]
     if not partial:
         winner = F.max_by(
@@ -185,18 +186,28 @@ def _per_key_winners(
             .select(*all_cols, *INTERNAL_COLS)
         )
     seq = F.col("_ingest_seq")
+    has_map = "_col_seqs" in df.columns
     aggs = [F.max_by(F.struct(*INTERNAL_NO_BUCKET), seq).alias("_w")]
     for c in data_cols:
-        present = ~F.col("_deleted") & (
-            F.col("_changed_cols").isNull()
-            | F.array_contains(F.col("_changed_cols"), c)
+        changed_ok = F.col("_changed_cols").isNull() | F.array_contains(
+            F.col("_changed_cols"), c
         )
+        if has_map:
+            carries_map = F.col("_col_seqs").isNotNull()
+            entry = F.col("_col_seqs").getItem(c)
+            present = ~F.col("_deleted") & F.when(
+                carries_map, entry.isNotNull()
+            ).otherwise(changed_ok)
+            seq_c = F.when(carries_map, entry).otherwise(seq)
+        else:
+            present = ~F.col("_deleted") & changed_ok
+            seq_c = seq
         aggs.append(
-            F.max(F.when(present, F.struct(seq.alias("s"), F.col(c).alias("v"))))[
-                "v"
-            ].alias(c)
+            F.max(
+                F.when(present, F.struct(seq_c.alias("s"), F.col(c).alias("v")))
+            ).alias(f"_pw_{c}")
         )
-    extra = []
+    extra = ["_col_seqs"]
     if emit_changed:
         any_full = F.max(
             F.when(~F.col("_deleted") & F.col("_changed_cols").isNull(), 1)
@@ -211,11 +222,25 @@ def _per_key_winners(
             .otherwise(union_changed)
             .alias("_changed_cols")
         )
-        extra = ["_changed_cols"]
+        extra = ["_changed_cols", "_col_seqs"]
+    if data_cols:
+        col_seqs = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in data_cols]),
+            F.array(*[F.col(f"_pw_{c}")["s"] for c in data_cols]),
+        ).alias("_col_seqs")
+    else:
+        col_seqs = F.lit(None).cast("map<string,bigint>").alias("_col_seqs")
     return (
         df.groupBy("bucket", *S.MERGE_KEYS)
         .agg(*aggs)
-        .select(*S.MERGE_KEYS, *data_cols, "_w.*", "bucket", *extra)
+        .select(
+            *S.MERGE_KEYS,
+            *[F.col(f"_pw_{c}")["v"].alias(c) for c in data_cols],
+            "_w.*",
+            "bucket",
+            *(["_changed_cols"] if emit_changed else []),
+            col_seqs,
+        )
         .select(*all_cols, *INTERNAL_COLS, *extra)
     )
 
@@ -357,7 +382,11 @@ class IcebergLiteTable:
     # -- read path -------------------------------------------------------------
 
     @staticmethod
-    def _state_schema(columns: list[str], with_changed: bool = False) -> T.StructType:
+    def _state_schema(
+        columns: list[str],
+        with_changed: bool = False,
+        with_col_seqs: bool = False,
+    ) -> T.StructType:
         fields = [T.StructField(c, T.StringType(), True) for c in columns]
         fields += [
             T.StructField("_ingest_seq", T.LongType(), True),
@@ -372,6 +401,15 @@ class IcebergLiteTable:
             # NULL-fill = full image
             fields.append(
                 T.StructField("_changed_cols", T.ArrayType(T.StringType()), True)
+            )
+        if with_col_seqs:
+            # per-column seq attribution (see _per_key_winners): files
+            # written before the table went partial NULL-fill = every
+            # column attributed to the row seq
+            fields.append(
+                T.StructField(
+                    "_col_seqs", T.MapType(T.StringType(), T.LongType()), True
+                )
             )
         return T.StructType(fields)
 
@@ -435,18 +473,30 @@ class IcebergLiteTable:
         # (no mergeSchema footer sweep needed — the manifest already knows
         # the union).
         partial_deltas = has_deltas and bool(m.get("partial_deltas"))
+        partial_state = bool(m.get("partial_state"))
+        partial_any = partial_deltas or partial_state
         df = spark.read.schema(
-            self._state_schema(cols, with_changed=partial_deltas)
+            self._state_schema(
+                cols,
+                with_changed=has_deltas and partial_any,
+                with_col_seqs=partial_any,
+            )
         ).parquet(*paths)
-        if partial_deltas:
-            # MINIMAL-image deltas: per-COLUMN read-time merge — delta
-            # rows carry only their changed columns (`_changed_cols`);
-            # base rows NULL-fill the column = full image
-            df = df.select(*cols, *INTERNAL_COLS, "_changed_cols")
+        if has_deltas and partial_any:
+            # MINIMAL-image path: per-COLUMN read-time merge — delta
+            # rows carry only their changed columns (`_changed_cols`)
+            # and/or per-column seq attributions (`_col_seqs`); rows
+            # from files lacking either NULL-fill = full image at the
+            # row seq
+            df = df.select(*cols, *INTERNAL_COLS, "_changed_cols", "_col_seqs")
             df = _per_key_winners(df, cols, partial=True)
         elif has_deltas:
             df = df.select(*cols, *INTERNAL_COLS)
             df = _per_key_winners(df, cols, partial=False)
+        elif partial_state:
+            # COW partial base: per-key resolved already; keep the
+            # attribution map so the next merge sees true column seqs
+            df = df.select(*cols, *INTERNAL_COLS, "_col_seqs")
         else:
             df = df.select(*cols, *INTERNAL_COLS)
         return df
@@ -460,7 +510,7 @@ class IcebergLiteTable:
         """Live table state (tombstones filtered, internal columns
         hidden except bucket); `version` time-travels to a snapshot."""
         df = self._read_raw(spark, buckets, version=version)
-        hidden = {"_ingest_seq", "_deleted", "_log_file", "_log_pos"}
+        hidden = {"_ingest_seq", "_deleted", "_log_file", "_log_pos", "_col_seqs"}
         return df.filter(~F.col("_deleted")).select(
             *[c for c in df.columns if c not in hidden]
         )
@@ -638,7 +688,18 @@ class IcebergLiteTable:
         b = batch.withColumn("bucket", bucket_col(self.n_buckets)).withColumnRenamed(
             "_seq", "_ingest_seq"
         )
-        partial = "_changed_cols" in batch.columns
+        # the merge runs per-column whenever ANY side carries partial
+        # metadata: a MINIMAL batch (_changed_cols), a re-committed
+        # resolved state (rebucket: _col_seqs), or a table whose stored
+        # state already holds per-column attributions (partial_state) —
+        # a FULL-image batch onto such a table is representable in the
+        # per-column merge (all columns present at the event seq), and
+        # collapsing row-level there would discard the attributions.
+        partial = (
+            "_changed_cols" in batch.columns
+            or "_col_seqs" in batch.columns
+            or bool(m.get("partial_state"))
+        )
         mor = self.write_mode == "mor"
         # mor+partial is supported: the delta stores per-key winners WITH
         # their merged `_changed_cols` presence metadata, and _read_raw
@@ -713,7 +774,13 @@ class IcebergLiteTable:
             for c in all_cols:
                 if c not in current.columns:
                     current = current.withColumn(c, F.lit(None).cast("string"))
-            current = current.select(*all_cols, *INTERNAL_COLS)
+            current = current.select(
+                *all_cols,
+                *INTERNAL_COLS,
+                # keep the per-column attribution of a partial_state read
+                # (the partial block below re-selects with both extras)
+                *(["_col_seqs"] if "_col_seqs" in current.columns else []),
+            )
             batch_rows = b.select(
                 *[
                     F.col(c) if c in b.columns else F.lit(None).cast("string").alias(c)
@@ -722,16 +789,29 @@ class IcebergLiteTable:
                 *INTERNAL_COLS,
             )
             if partial:
+                null_changed = F.lit(None).cast("array<string>").alias("_changed_cols")
+                null_map = F.lit(None).cast("map<string,bigint>").alias("_col_seqs")
                 batch_rows = b.select(
                     *[
                         F.col(c) if c in b.columns else F.lit(None).cast("string").alias(c)
                         for c in all_cols
                     ],
                     *INTERNAL_COLS,
-                    "_changed_cols",
+                    # NULL _changed_cols = full image; NULL _col_seqs =
+                    # every column attributed to the row seq
+                    F.col("_changed_cols") if "_changed_cols" in b.columns else null_changed,
+                    F.col("_col_seqs") if "_col_seqs" in b.columns else null_map,
                 )
-                current = current.withColumn(
-                    "_changed_cols", F.lit(None).cast("array<string>")
+                if "_changed_cols" not in current.columns:
+                    current = current.withColumn(
+                        "_changed_cols", F.lit(None).cast("array<string>")
+                    )
+                if "_col_seqs" not in current.columns:
+                    current = current.withColumn(
+                        "_col_seqs", F.lit(None).cast("map<string,bigint>")
+                    )
+                current = current.select(
+                    *all_cols, *INTERNAL_COLS, "_changed_cols", "_col_seqs"
                 )
             # bucket-pure partitions (n_out <= #affected keeps exactly one
             # file per bucket), but 4x the core count of them: with only
@@ -851,6 +931,11 @@ class IcebergLiteTable:
                 # gates the per-column read-time merge in _read_raw
                 "partial_deltas": bool(m.get("partial_deltas"))
                 or (mor and partial),
+                # sticky for the table's life: COW partial bases carry
+                # the `_col_seqs` attribution map, and every later merge
+                # must run per-column to honor it
+                "partial_state": bool(m.get("partial_state"))
+                or (not mor and partial),
             }
         )
         depth_hit = (
@@ -1040,8 +1125,15 @@ class IcebergLiteTable:
                     bk: {"base": st["rows"], "delta": 0} for bk, st in written.items()
                 },
                 "metrics": metrics,
-                # folded rows are complete images again
+                # folded rows are complete images again (presence-wise)
                 "partial_deltas": False,
+                # ...but their per-column seq ATTRIBUTION must survive
+                # the fold: the compacted base carries `_col_seqs`
+                # whenever the table ever went partial, and later
+                # out-of-order replays still race the true writers
+                "partial_state": bool(
+                    m.get("partial_state") or m.get("partial_deltas")
+                ),
             }
         )
         return {"skipped": False, "snapshot": new_version}

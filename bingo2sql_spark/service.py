@@ -99,8 +99,13 @@ class ParseService:
         counters for this job group (the reference's {rows, pct} push,
         core/socket.go:34-76 / TestComputePercent analog)."""
         job = self._get(job_id)
-        pct = 100.0 if job.state == "done" else 0.0
-        if job.state in ("running", "cancelling"):
+        # snapshot the state ONCE: the worker thread flips it
+        # concurrently, and reading it again for the returned dict could
+        # pair state='done' with a mid-flight tracker pct (a real race a
+        # pushed SSE frame hit)
+        state = job.state
+        pct = 100.0 if state == "done" else 0.0
+        if state in ("running", "cancelling"):
             tracker = self.spark.sparkContext.statusTracker()
             total = done = 0
             for jid in tracker.getJobIdsForGroup(job_id):
@@ -116,7 +121,7 @@ class ParseService:
             pct = round(100.0 * done / total, 1) if total else 0.0
         out = {
             "job_id": job_id,
-            "state": job.state,
+            "state": state,
             "pct": pct,
             "error": job.error,
             "runtime_secs": round((job.finished_at or time.time()) - job.submitted_at, 3),

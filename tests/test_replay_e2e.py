@@ -975,3 +975,74 @@ def test_merge_strategy_auto_policy(spark, small_events, tmp_path):
     replay(mev.filter("seq < 100"), t3, batch_id="m1", row_image="MINIMAL")
     m = replay(mev.filter("seq >= 100"), t3, batch_id="m2", row_image="MINIMAL")
     assert m["merge_plan"] == "full"  # per-column merge: election invalid
+
+
+def test_minimal_out_of_order_cross_commit_column_race(spark, tmp_path):
+    """The full fix for ADVICE r4: per-column seq ATTRIBUTION survives
+    the collapse, so an out-of-order ad-hoc MINIMAL replay whose seq
+    interleaves an already-committed range wins/loses each column
+    against that column's TRUE writer — not against an unrelated newer
+    contributor's row seq. Scenario (the ADVICE example): commit 1
+    carries seq1:[lang] and seq10:[content]; an ad-hoc replay then
+    brings seq5:[lang] — lang's stored writer is seq1, so seq5 MUST
+    win lang (the old collapse stamped lang with row-seq 10 and seq5
+    lost). Checked in both COW and MOR, plus through a compaction."""
+    import pyspark.sql.functions as F
+
+    from bingo2sql_spark.operators import resolve as R
+
+    def minimal_batch(rows):
+        # rows: (seq, op, changed list or None, payload dict)
+        data = []
+        for seq, op, changed, p in rows:
+            img = {
+                "repo": "r1", "path": "f1",
+                "commit": p.get("commit"), "lang": p.get("lang"),
+                "content": p.get("content"), "branch": None,
+            }
+            data.append(
+                (seq, "bin.1", seq, None, None,
+                 __import__("datetime").datetime(2024, 1, 1),
+                 1, "test", "repo_files", op,
+                 None if op == "insert" else {"repo": "r1", "path": "f1",
+                                              "commit": None, "lang": None,
+                                              "content": None, "branch": None},
+                 None if op == "delete" else img,
+                 changed, 2)
+            )
+        from bingo2sql_spark import schema as S
+
+        env = spark.createDataFrame(data, S.ENVELOPE)
+        return R.to_upsert_rows_partial(R.with_key(env))
+
+    for mode in ("cow", "mor"):
+        t = IcebergLiteTable(str(tmp_path / f"oo_{mode}"), n_buckets=4,
+                             write_mode=mode)
+        t.commit(minimal_batch([
+            (0, "insert", None,
+             {"commit": "c0", "lang": "en", "content": "v0"}),
+            (1, "update", ["lang"], {"lang": "fr"}),
+            (10, "update", ["content"], {"content": "v10"}),
+        ]), batch_id="b1")
+        # ad-hoc out-of-order replay: seq 5 rewrites lang only
+        t.commit(minimal_batch([
+            (5, "update", ["lang"], {"lang": "de"}),
+        ]), batch_id="b2")
+        row = t.read(spark).collect()[0]
+        assert row["lang"] == "de", (mode, row)          # 5 beats lang's writer 1
+        assert row["content"] == "v10", (mode, row)       # 10 still owns content
+        assert row["commit"] == "c0", (mode, row)         # insert's value persists
+        # and a LOSING out-of-order replay stays lost: seq 3 < 5
+        t.commit(minimal_batch([
+            (3, "update", ["lang"], {"lang": "xx"}),
+        ]), batch_id="b3")
+        row = t.read(spark).collect()[0]
+        assert row["lang"] == "de", (mode, row)
+        # attribution survives compaction
+        t.compact(spark, drop_tombstones=False)
+        t.commit(minimal_batch([
+            (4, "update", ["lang"], {"lang": "yy"}),   # still < 5: loses
+            (11, "update", ["content"], {"content": "v11"}),
+        ]), batch_id="b4")
+        row = t.read(spark).collect()[0]
+        assert row["lang"] == "de" and row["content"] == "v11", (mode, row)
