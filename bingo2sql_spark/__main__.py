@@ -104,6 +104,15 @@ def main(argv: list[str] | None = None) -> int:
         and len(tables) == 1
         and _os.path.isfile(tables[0])
     ):
+        # loud (ADVICE r5): a table FILTER whose name collides with an
+        # existing file silently becomes a schema file; make the overload
+        # diagnosable from stderr
+        print(
+            f"note: -t {tables[0]} names an existing file — treating it as a "
+            "CREATE TABLE schema file, not a table filter (pass --table-schema "
+            "explicitly to silence this)",
+            file=sys.stderr,
+        )
         table_schema, tables = tables[0], None
 
     spark = get_spark("bingo2sql-cli", master=args.master)

@@ -224,6 +224,40 @@ def _key_col_names(cols: str) -> list[str]:
     return names
 
 
+def _blank_string_literals(s: str) -> str:
+    """Replace the CONTENT of every quoted literal ('…', "…", `…`) with
+    nothing, keeping the quote characters, so keyword detection never
+    fires on literal text. Same quote/escape rules as strip_comments
+    (backslash escapes for '/" only, doubled-quote escapes for all).
+    ADVICE r5: the old COMMENT-only special case let DEFAULT 'AS (x)'
+    mark a column generated and DEFAULT '… UNIQUE …' set unique=True —
+    silently wrong SQL on legal MySQL DDL."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"', "`"):
+            q = c
+            out.append(c)
+            i += 1
+            while i < n:
+                if s[i] == "\\" and q != "`" and i + 1 < n:
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:  # doubled quote
+                        i += 2
+                        continue
+                    out.append(q)
+                    i += 1
+                    break
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _parse_column(item: str) -> ColumnMeta | None:
     m = _COL_RE.match(item)
     if not m:
@@ -241,9 +275,9 @@ def _parse_column(item: str) -> ColumnMeta | None:
             if depth == 0:
                 rest = rest_stripped[i + 1 :]
                 break
-    # COMMENT '...' text must not trigger keyword detection
-    rest = re.sub(r"COMMENT\s+('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")",
-                  "COMMENT ''", rest, flags=re.IGNORECASE)
+    # blank EVERY string literal (COMMENT, DEFAULT, CHECK, …) before
+    # scanning for option keywords — literal text is not syntax
+    rest = _blank_string_literals(rest)
     up = f" {rest.upper()} "
     generated = _GENERATED_RE.search(rest) is not None
     return ColumnMeta(

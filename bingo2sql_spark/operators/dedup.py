@@ -64,15 +64,46 @@ def _log_dropped(
     return counts
 
 
+#: every DataFrame _maybe_persist cached, so a long-lived driver can
+#: release the blocks without nuking the whole session cache
+_PERSISTED: list[DataFrame] = []
+
+
 def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
     """The pair generators' self-join/cap branches reference their
     per-doc signature/posting table 3-5x, and each reference would
     re-run the shingle-explode + aggregate subtree — persist (default)
-    materializes the SMALL table once. The blocks live for the session;
-    a long-lived driver issuing many dedup calls should either pass
-    persist=False (tables are recomputed per branch, no storage growth)
-    or clear them in bulk via spark.catalog.clearCache()."""
-    return df.persist() if persist else df
+    materializes the SMALL table once.
+
+    Leak control (ADVICE r5): persisted blocks are REGISTERED and a
+    long-lived driver (ParseService, SignatureStore lockstep, bench
+    loops) releases them with `release_persisted()` once the returned
+    pairs are consumed — unpersisting a consumed DataFrame is always
+    safe (later actions just recompute). Callers that never release can
+    pass persist=False (recompute per branch, zero storage growth) or
+    clear in bulk via spark.catalog.clearCache()."""
+    if not persist:
+        return df
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every signature/posting table the dedup operators
+    cached this session; returns how many blocksets were released.
+    Call after the pair DataFrames have been consumed (written,
+    collected, or counted) — the blocks only speed up RE-use of the
+    same plan, they are never required for correctness."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def _exploded_shingles(
@@ -374,6 +405,36 @@ def decontaminate(
     return hits
 
 
+def _pack_composite_key(docs: DataFrame, key_cols: list[str], text_col: str) -> DataFrame:
+    """Pack a composite key into ONE join column for the per-id
+    signature aggregates. INJECTIVE: base64 each part (its alphabet
+    excludes the separator) and give NULL its own sentinel — plain
+    concat_ws both SKIPS null args and passes raw bytes through, so
+    ('a', NULL) and (NULL, 'a') would collide into one _ckey and share
+    a merged, wrong signature."""
+    parts = [
+        F.coalesce(
+            F.base64(F.encode(F.col(c).cast("string"), "UTF-8")), F.lit("\x00")
+        )
+        for c in key_cols
+    ]
+    return docs.select(
+        F.concat_ws("\x1f", *parts).alias("_ckey"),
+        *key_cols,
+        F.col(text_col).alias("_text"),
+    )
+
+
+def _keyed(sign_fn, docs: DataFrame, key_cols: list[str], text_col: str, sig_cols: list[str]) -> DataFrame:
+    """Run a (docs, text_col, id_col) -> signature operator over a
+    COMPOSITE key: pack, sign, unpack. Rows with NULL text drop out
+    (nothing to fingerprint) — identical to the single-key path."""
+    packed = _pack_composite_key(docs, key_cols, text_col)
+    sigs = sign_fn(packed)
+    keys = packed.select("_ckey", *key_cols).distinct()
+    return sigs.join(keys, "_ckey").select(*key_cols, *sig_cols)
+
+
 def minhash_signature_keyed(
     docs: DataFrame,
     key_cols: list[str],
@@ -382,58 +443,54 @@ def minhash_signature_keyed(
     shingle_n: int = 3,
 ) -> DataFrame:
     """minhash_signature over a COMPOSITE key (e.g. the CDC table's
-    (repo, path)): packs the key into one join column, signs, unpacks.
-    Rows with NULL text drop out (nothing to fingerprint) — identical
-    to the single-key path's behavior."""
-    # INJECTIVE key packing: base64 each part (its alphabet excludes the
-    # separator) and give NULL its own sentinel — plain concat_ws both
-    # SKIPS null args and passes raw bytes through, so ('a', NULL) and
-    # (NULL, 'a') would collide into one _ckey and share a merged,
-    # wrong signature
-    parts = [
-        F.coalesce(
-            F.base64(F.encode(F.col(c).cast("string"), "UTF-8")), F.lit("\x00")
-        )
-        for c in key_cols
-    ]
-    packed = docs.select(
-        F.concat_ws("\x1f", *parts).alias("_ckey"),
-        *key_cols,
-        F.col(text_col).alias("_text"),
+    (repo, path))."""
+    return _keyed(
+        lambda p: minhash_signature(p, text_col="_text", id_col="_ckey", k=k, shingle_n=shingle_n),
+        docs, key_cols, text_col, [f"mh{i}" for i in range(k)],
     )
-    sigs = minhash_signature(packed, text_col="_text", id_col="_ckey", k=k, shingle_n=shingle_n)
-    keys = packed.select("_ckey", *key_cols).distinct()
-    return sigs.join(keys, "_ckey").select(*key_cols, *[f"mh{i}" for i in range(k)])
 
 
-def update_minhash_signatures(
+def simhash_signature_keyed(
+    docs: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    n_bits: int = 64,
+) -> DataFrame:
+    """simhash_signatures over a COMPOSITE key — returns
+    (key_cols..., simhash). The banded probe tables of
+    simhash_pairs_banded rebuild from this signature table with a
+    narrow substring projection (no re-tokenization)."""
+    return _keyed(
+        lambda p: simhash_signatures(p, text_col="_text", id_col="_ckey", n_bits=n_bits),
+        docs, key_cols, text_col, ["simhash"],
+    )
+
+
+def _update_keyed_signatures(
     sigs: DataFrame,
     changes: DataFrame,
     key_cols: list[str],
-    text_col: str = "content",
-    k: int = 8,
-    shingle_n: int = 3,
+    sig_cols: list[str],
+    sign_keyed_fn,
+    text_col: str,
 ) -> DataFrame:
-    """Incremental MinHash maintenance over a CDC changelog feed — the
-    100 TB continuous-curation shape (VERDICT r4 #9): a signature table
-    kept in lockstep with the replicated corpus WITHOUT re-reading it.
+    """Shared incremental-maintenance core for EVERY signature family —
+    the 100 TB continuous-curation shape: a signature table kept in
+    lockstep with the replicated corpus WITHOUT re-reading it.
 
     `changes` is `IcebergLiteTable.changes_between` output (keys + op +
     before/after images): deleted keys leave the signature table,
     inserted/updated keys are re-signed from their AFTER image, and
-    untouched keys keep their stored signatures. Because the changelog
-    is the table's net per-key live-state diff, the result is EXACTLY
-    `minhash_signature_keyed(final_state)` — the equality the oracle
-    gate (`dedup_incremental_minhash`) pins.
+    untouched keys keep their stored rows. Because the changelog is the
+    table's net per-key live-state diff, the result is EXACTLY the full
+    recompute over the final state — the equality the oracle gates pin.
 
-    Scale shape: shingling/hashing touches only the changelog's rows
-    (itself manifest-pruned to changed buckets), and the kept-side
-    anti-join shuffles on the merge keys both tables are already
-    bucketed by. Per micro-batch cost is O(changed docs), never
-    O(corpus) — the point of maintaining signatures incrementally."""
-    mh = [f"mh{i}" for i in range(k)]
+    Scale shape: signing touches only the changelog's rows (itself
+    manifest-pruned to changed buckets), and the kept-side anti-join
+    shuffles on the merge keys both tables are already bucketed by. Per
+    micro-batch cost is O(changed docs), never O(corpus)."""
     changed_keys = changes.select(*key_cols).distinct()
-    left = sigs.select(*key_cols, *mh)
+    left = sigs.select(*key_cols, *sig_cols)
     # null-SAFE anti join: a deleted null-keyed signature must still be
     # evicted (plain column equality never matches NULLs)
     cond = None
@@ -444,10 +501,79 @@ def update_minhash_signatures(
     live = changes.filter(F.col("op") != "delete").select(
         *key_cols, F.col(f"after.{text_col}").alias("_t")
     )
-    fresh = minhash_signature_keyed(
-        live, key_cols, text_col="_t", k=k, shingle_n=shingle_n
+    fresh = sign_keyed_fn(live)
+    return kept.unionByName(fresh.select(*key_cols, *sig_cols))
+
+
+def update_minhash_signatures(
+    sigs: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    text_col: str = "content",
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental MinHash maintenance over a CDC changelog feed
+    (VERDICT r4 #9). See _update_keyed_signatures for the contract."""
+    return _update_keyed_signatures(
+        sigs, changes, key_cols, [f"mh{i}" for i in range(k)],
+        lambda live: minhash_signature_keyed(live, key_cols, text_col="_t", k=k, shingle_n=shingle_n),
+        text_col,
     )
-    return kept.unionByName(fresh.select(*key_cols, *mh))
+
+
+def update_simhash_signatures(
+    sigs: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    text_col: str = "content",
+    n_bits: int = 64,
+) -> DataFrame:
+    """Incremental SimHash maintenance over a CDC changelog feed
+    (VERDICT r5 #2): the banded family's signature table stays in
+    lockstep with the corpus at O(changed docs)/batch; the 4 probe
+    tables are narrow substring projections of it, rebuilt on read."""
+    return _update_keyed_signatures(
+        sigs, changes, key_cols, ["simhash"],
+        lambda live: simhash_signature_keyed(live, key_cols, text_col="_t", n_bits=n_bits),
+        text_col,
+    )
+
+
+def embedding_signature_keyed(
+    docs: DataFrame,
+    key_cols: list[str],
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Deterministic feature-hash embedding (similarity.
+    feature_hash_embedding) over a COMPOSITE key — returns
+    (key_cols..., embedding). cosine_near_dup_pairs / lsh_topk consume
+    this table directly; the SRP bucket codes are pure projections of
+    the embedding, rebuilt on read like the simhash probe tables."""
+    from bingo2sql_spark.operators.similarity import feature_hash_embedding
+
+    return _keyed(
+        lambda p: feature_hash_embedding(p, text_col="_text", id_col="_ckey", dim=dim),
+        docs, key_cols, text_col, ["embedding"],
+    )
+
+
+def update_embedding_signatures(
+    sigs: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    text_col: str = "content",
+    dim: int = 16,
+) -> DataFrame:
+    """Incremental embedding maintenance over a CDC changelog feed
+    (VERDICT r5 #2): the embedding-cosine near-dup family's vector
+    table stays in lockstep at O(changed docs)/batch."""
+    return _update_keyed_signatures(
+        sigs, changes, key_cols, ["embedding"],
+        lambda live: embedding_signature_keyed(live, key_cols, text_col="_t", dim=dim),
+        text_col,
+    )
 
 
 def duplicate_span_stats(
@@ -511,11 +637,21 @@ def duplicate_span_stats(
 
 
 class SignatureStore:
-    """A MinHash signature table maintained in LOCKSTEP with an
+    """A near-dup signature table maintained in LOCKSTEP with an
     IcebergLiteTable — the continuous-curation shape at 100 TB: the
     corpus is replicated by CDC, and each commit's changelog updates
-    signatures for the changed keys only (update_minhash_signatures),
-    never re-reading the corpus.
+    signatures for the changed keys only, never re-reading the corpus.
+
+    Three families (VERDICT r5 #2), one maintenance contract:
+    - family="minhash" (default): k MinHash columns mh0..mh{k-1};
+      LSH band pairs rebuild from them (minhash_candidate_pairs'
+      banding is a projection of the signature columns).
+    - family="simhash": one n_bits 0/1-string column `simhash`; the 4
+      banded probe tables (simhash_pairs_banded) are substring
+      projections of it, rebuilt on read.
+    - family="embedding": one unit-L2 `embedding` array<double> from
+      the deterministic feature-hash embedding; cosine_near_dup_pairs
+      / SRP buckets consume it directly.
 
     Layout: `<path>/snap-<table_version>/` parquet + `state.json`
     pointing at the signature snapshot and the table version it
@@ -541,13 +677,54 @@ class SignatureStore:
         text_col: str = "content",
         k: int = 8,
         shingle_n: int = 3,
+        keep_snapshots: int = 1,
+        family: str = "minhash",
+        n_bits: int = 64,
+        dim: int = 16,
     ):
+        if family not in ("minhash", "simhash", "embedding"):
+            raise ValueError(
+                f"unknown signature family {family!r}: minhash | simhash | embedding"
+            )
         self.path = path
         self.key_cols = list(key_cols)
         self.text_col = text_col
         self.k = k
         self.shingle_n = shingle_n
+        self.family = family
+        self.n_bits = n_bits
+        self.dim = dim
+        #: prior snapshots retained across refresh() for in-flight readers
+        self.keep_snapshots = keep_snapshots
         os.makedirs(path, exist_ok=True)
+
+    def _sign_full(self, docs: DataFrame) -> DataFrame:
+        """Full recompute (bootstrap path) for the configured family."""
+        if self.family == "minhash":
+            return minhash_signature_keyed(
+                docs, self.key_cols, self.text_col, self.k, self.shingle_n
+            )
+        if self.family == "simhash":
+            return simhash_signature_keyed(
+                docs, self.key_cols, self.text_col, self.n_bits
+            )
+        return embedding_signature_keyed(
+            docs, self.key_cols, self.text_col, self.dim
+        )
+
+    def _sign_incremental(self, sigs: DataFrame, changes: DataFrame) -> DataFrame:
+        """Changelog maintenance (incremental path) for the family."""
+        if self.family == "minhash":
+            return update_minhash_signatures(
+                sigs, changes, self.key_cols, self.text_col, self.k, self.shingle_n
+            )
+        if self.family == "simhash":
+            return update_simhash_signatures(
+                sigs, changes, self.key_cols, self.text_col, self.n_bits
+            )
+        return update_embedding_signatures(
+            sigs, changes, self.key_cols, self.text_col, self.dim
+        )
 
     def _state(self) -> dict | None:
         p = os.path.join(self.path, "state.json")
@@ -585,37 +762,51 @@ class SignatureStore:
         mode = "incremental"
         if last is None:
             mode = "bootstrap"
-            sigs = minhash_signature_keyed(
-                table.read(spark, version=cur) if cur else table.read(spark),
-                self.key_cols, self.text_col, self.k, self.shingle_n,
+            sigs = self._sign_full(
+                table.read(spark, version=cur) if cur else table.read(spark)
             )
         else:
             try:
                 ch = table.changes_between(spark, last, cur)
-                sigs = update_minhash_signatures(
-                    self.read(spark), ch, self.key_cols, self.text_col,
-                    self.k, self.shingle_n,
-                )
+                sigs = self._sign_incremental(self.read(spark), ch)
             except ValueError:
                 # the reflected version expired from table history —
                 # full bootstrap rather than silently stale signatures
                 mode = "bootstrap"
-                sigs = minhash_signature_keyed(
-                    table.read(spark, version=cur),
-                    self.key_cols, self.text_col, self.k, self.shingle_n,
-                )
+                sigs = self._sign_full(table.read(spark, version=cur))
         out = os.path.join(self.path, f"snap-{cur:012d}")
         sigs.write.mode("overwrite").parquet(out)
         self._point(cur)
-        # GC superseded snapshots (keep the current one; readers of the
-        # previous pointer finished before _point replaced it in this
-        # single-writer maintenance model)
-        for d in os.listdir(self.path):
-            if d.startswith("snap-") and d != f"snap-{cur:012d}":
-                import shutil
-
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        # Retained-snapshot GC (ADVICE r5): deleting superseded snap-*
+        # dirs immediately would FileNotFound any concurrent reader that
+        # resolved the previous pointer before _point moved it. Keep the
+        # last `keep_snapshots` prior versions here; reclaiming older
+        # ones is an explicit expire() call, mirroring the table's own
+        # expire_snapshots contract.
+        self.expire(keep=self.keep_snapshots + 1)
         return {"mode": mode, "from": last, "to": cur}
+
+    def expire(self, keep: int = 1) -> list[str]:
+        """Delete all but the newest `keep` signature snapshots (the
+        pointer's snapshot is always among the kept). Returns the
+        removed directory names. Readers that resolved an expired
+        pointer mid-scan will fail loudly — call this only past the
+        window any reader could still be running."""
+        import shutil
+
+        snaps = sorted(
+            d for d in os.listdir(self.path) if d.startswith("snap-")
+        )
+        doomed = snaps[:-keep] if keep > 0 else snaps
+        st = self._state()
+        current = None if st is None else f"snap-{int(st['version']):012d}"
+        removed = []
+        for d in doomed:
+            if d == current:
+                continue  # never delete the pointed-at snapshot
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            removed.append(d)
+        return removed
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:

@@ -252,6 +252,45 @@ def cosine_near_dup_pairs(
     )
 
 
+def feature_hash_embedding(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Deterministic text embedding by the HASHING TRICK (Weinberger et
+    al., ICML'09): each token adds ±1 to the dimension selected by a
+    hash of the token; the resulting integer vector is L2-normalized.
+    No trained model, reproducible in any engine with md5 — this is the
+    embedding the SignatureStore's `embedding` family maintains when
+    the corpus has no externally-computed vectors (token-level cosine
+    on these behaves like an unweighted bag-of-words similarity, the
+    right default signal for near-dup curation).
+
+    Computed as `dim` conditional sums in ONE codegen groupBy over
+    exploded tokens (same shape as simhash_signatures): bucket = the
+    first 4 md5 hex chars mod dim, sign = parity of the 5th. Returns
+    (id, embedding: array<double>), unit-L2 (zero vectors guarded)."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
+    ).withColumn("_h", F.md5(F.col("_w")))
+    bucket = (F.conv(F.substring("_h", 1, 4), 16, 10).cast("long") % dim).cast("int")
+    sign = (F.ascii(F.substring("_h", 5, 1)) % 2) * 2 - 1
+    words = words.select(F.col(id_col), bucket.alias("_b"), sign.alias("_s"))
+    aggs = [
+        F.sum(F.when(F.col("_b") == d, F.col("_s")).otherwise(0)).alias(f"c{d}")
+        for d in range(dim)
+    ]
+    agged = words.groupBy(id_col).agg(*aggs)
+    vec = F.array(*[F.col(f"c{d}").cast("double") for d in range(dim)])
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    norm = F.greatest(norm, F.lit(1e-12))
+    return agged.select(
+        F.col(id_col),
+        F.transform(vec, lambda x: x / norm).alias("embedding"),
+    )
+
+
 def srp_bucket(vec_col: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
     """Sign-random-projection bucket code ('0'/'1' per hyperplane).
 

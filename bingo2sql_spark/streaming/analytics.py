@@ -144,9 +144,17 @@ def dedup_stream(
                 "(event-time TTL; see docstring)"
             )
 
+    # the output id keeps the STREAM's id type (ADVICE r5: a string
+    # doc_id — common for content ids — used to fail inside the Arrow
+    # worker at runtime against a hardcoded LongType)
+    id_type = stream.schema[id_col].dataType
+    id_is_numeric = isinstance(
+        id_type,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, id_type),
             T.StructField("digest", T.StringType()),
         ]
     )
@@ -179,9 +187,10 @@ def dedup_stream(
             )
         if admitted:
             return  # already admitted in an earlier batch
-        yield pd.DataFrame(
-            {id_col: [int(rows[id_col].min())], "digest": [digest]}
-        )
+        keeper = rows[id_col].min()
+        if id_is_numeric:
+            keeper = int(keeper)  # numpy scalar -> plain int for Arrow
+        yield pd.DataFrame({id_col: [keeper], "digest": [digest]})
 
     cols = [F.col(id_col), F.md5(F.col(text_col)).alias("digest")]
     src = stream

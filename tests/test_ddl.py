@@ -281,3 +281,30 @@ def test_registry_rendering_qualified_precedence(spark, tmp_path):
     assert deletes
     # events are db='test' -> the QUALIFIED entry's composite key wins
     assert all("`repo`=" in ln and "`path`=" in ln for ln in deletes)
+
+
+def test_string_literals_never_drive_option_keywords():
+    """ADVICE r5: ANY string literal (DEFAULT, COMMENT, CHECK text) is
+    blanked before option scanning — DEFAULT 'AS (x)' must not mark a
+    column generated, DEFAULT '... UNIQUE ...' must not set unique
+    (which would redirect the keyless WHERE-key fallback)."""
+    t = parse_create_table(
+        "CREATE TABLE lit ("
+        "a varchar(20) DEFAULT 'AS (x)', "
+        "b varchar(40) DEFAULT 'pick the UNIQUE one', "
+        "c varchar(10) DEFAULT 'UNSIGNED PRIMARY KEY', "
+        "d int AS (a+1))"
+    )
+    assert [c.name for c in t.columns if c.generated] == ["d"]
+    assert not any(c.unique for c in t.columns)
+    assert not any(c.unsigned for c in t.columns)
+    # keyless fallback: all non-generated columns, NOT redirected to b
+    assert t.key_columns == ["a", "b", "c"]
+    # real options still detected alongside literals
+    t2 = parse_create_table(
+        "CREATE TABLE lit2 (a int UNSIGNED DEFAULT '7' PRIMARY KEY, "
+        "b varchar(5) DEFAULT 'x' UNIQUE)"
+    )
+    assert t2.key_columns == ["a"]
+    assert [c.name for c in t2.columns if c.unsigned] == ["a"]
+    assert [c.name for c in t2.columns if c.unique] == ["b"]

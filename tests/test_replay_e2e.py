@@ -1046,3 +1046,75 @@ def test_minimal_out_of_order_cross_commit_column_race(spark, tmp_path):
         ]), batch_id="b4")
         row = t.read(spark).collect()[0]
         assert row["lang"] == "de" and row["content"] == "v11", (mode, row)
+
+
+@pytest.mark.parametrize("family", ["simhash", "embedding"])
+def test_incremental_signatures_match_full_recompute(spark, small_events, tmp_path, family):
+    """VERDICT r5 #2: the SimHash and embedding families' incremental
+    changelog maintenance == full recompute over the final state —
+    same contract the MinHash gate pins, via the shared
+    _update_keyed_signatures core (delete/insert/update all covered)."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    t = IcebergLiteTable(str(tmp_path / f"sig_{family}"), n_buckets=8)
+    m1 = replay(small_events.filter("seq < 1000"), t, batch_id="s1")
+    m2 = replay(small_events.filter("seq >= 1000"), t, batch_id="s2")
+    keys = ["repo", "path"]
+    ch = t.changes_between(spark, m1["snapshot"], m2["snapshot"])
+    assert ch.filter("op = 'delete'").count() > 0
+    v1 = t.read(spark, version=m1["snapshot"])
+    fin = t.read(spark)
+    if family == "simhash":
+        sigs1 = DD.simhash_signature_keyed(v1, keys, text_col="content", n_bits=16)
+        incr = DD.update_simhash_signatures(sigs1, ch, keys, text_col="content", n_bits=16)
+        full = DD.simhash_signature_keyed(fin, keys, text_col="content", n_bits=16)
+        cols = keys + ["simhash"]
+        a = {tuple(r) for r in incr.select(*cols).collect()}
+        b = {tuple(r) for r in full.select(*cols).collect()}
+    else:
+        sigs1 = DD.embedding_signature_keyed(v1, keys, text_col="content", dim=8)
+        incr = DD.update_embedding_signatures(sigs1, ch, keys, text_col="content", dim=8)
+        full = DD.embedding_signature_keyed(fin, keys, text_col="content", dim=8)
+        a = {(r["repo"], r["path"], tuple(r["embedding"])) for r in incr.collect()}
+        b = {(r["repo"], r["path"], tuple(r["embedding"])) for r in full.collect()}
+    assert a == b and a
+
+
+@pytest.mark.parametrize("family", ["simhash", "embedding"])
+def test_signature_store_families_lockstep(spark, small_events, tmp_path, family):
+    """SignatureStore generalized beyond MinHash: bootstrap +
+    incremental refresh both land, final stored signatures == full
+    recompute for the family, snapshot retention keeps the prior
+    version for in-flight readers until expire()."""
+    import os
+
+    from bingo2sql_spark.operators import dedup as DD
+
+    t = IcebergLiteTable(str(tmp_path / f"st_{family}"), n_buckets=8)
+    store = DD.SignatureStore(
+        str(tmp_path / f"store_{family}"), ["repo", "path"],
+        family=family, n_bits=16, dim=8,
+    )
+    replay(small_events.filter("seq < 1000"), t, batch_id="b1")
+    assert store.refresh(spark, t)["mode"] == "bootstrap"
+    replay(small_events.filter("seq >= 1000"), t, batch_id="b2")
+    r = store.refresh(spark, t)
+    assert r["mode"] == "incremental"
+    # ADVICE r5: the superseded snapshot is RETAINED for concurrent
+    # readers; expire() reclaims it explicitly
+    snaps = sorted(d for d in os.listdir(store.path) if d.startswith("snap-"))
+    assert len(snaps) == 2
+    removed = store.expire(keep=1)
+    assert removed == snaps[:1]
+    assert sorted(
+        d for d in os.listdir(store.path) if d.startswith("snap-")
+    ) == snaps[1:]
+    got = store.read(spark)
+    full = store._sign_full(t.read(spark))
+    if family == "simhash":
+        a = {tuple(r) for r in got.select("repo", "path", "simhash").collect()}
+        b = {tuple(r) for r in full.select("repo", "path", "simhash").collect()}
+    else:
+        a = {(r["repo"], r["path"], tuple(r["embedding"])) for r in got.collect()}
+        b = {(r["repo"], r["path"], tuple(r["embedding"])) for r in full.collect()}
+    assert a == b and a

@@ -530,3 +530,43 @@ def test_simhash_banded_validation(spark):
         DD.simhash_pairs_banded(docs, n_bits=64, bands=5)
     with _pytest.raises(ValueError, match="pigeonhole"):
         DD.simhash_pairs_banded(docs, n_bits=64, bands=4, max_hamming=4)
+
+
+def test_release_persisted_frees_pair_generator_caches(spark):
+    """ADVICE r5: the pair generators' persisted signature/posting
+    tables are registered and released in bulk — a long-lived driver
+    does not accumulate cached blocks across dedup calls."""
+    from bingo2sql_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i} epsilon zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    DD.minhash_candidate_pairs(docs, k=4, bands=2).count()
+    DD.simhash_pairs(docs, n_bits=8).count()
+    assert len(DD._PERSISTED) >= 2
+    released = DD.release_persisted()
+    assert released >= 2 and not DD._PERSISTED
+    # correctness unaffected: the same call recomputes fine afterwards
+    assert DD.minhash_candidate_pairs(docs, k=4, bands=2, persist=False).count() >= 0
+    DD.release_persisted()
+
+
+def test_feature_hash_embedding_unit_norm_and_determinism(spark):
+    """Hashing-trick embedding: unit-L2 (zero guard), deterministic
+    across recomputation, and token-order invariant."""
+    import math
+
+    from bingo2sql_spark.operators.similarity import feature_hash_embedding
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "fox brown quick the"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["embedding"] for r in feature_hash_embedding(docs, dim=8).collect()}
+    assert len(rows[1]) == 8
+    assert math.isclose(sum(x * x for x in rows[1]), 1.0, rel_tol=1e-9)
+    # bag-of-words: permuted tokens -> identical embedding
+    assert rows[1] == rows[2]
+    rows2 = {r["doc_id"]: r["embedding"] for r in feature_hash_embedding(docs, dim=8).collect()}
+    assert rows == rows2

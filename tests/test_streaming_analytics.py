@@ -267,3 +267,40 @@ def test_dedup_stream_admits_first_only(spark, tmp_path):
         dedup_stream(stream, ttl="soonish")
     with _p.raises(ValueError, match="event-time"):
         dedup_stream(stream, ttl="72 hours")  # doc stream has no ts col
+
+
+def test_dedup_stream_string_ids(spark, tmp_path):
+    """ADVICE r5: the admitted-row id column keeps the STREAM's type —
+    a string doc_id (common for content ids) flows through instead of
+    dying in the Arrow worker against a hardcoded LongType."""
+    import os
+    import shutil
+    import time
+
+    from bingo2sql_spark.streaming.analytics import dedup_stream
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    land = str(tmp_path / "sl")
+    df = spark.createDataFrame(
+        [("doc-b", "same text"), ("doc-a", "same text"), ("doc-c", "other")],
+        schema,
+    ).coalesce(1)
+    df.write.mode("overwrite").parquet(land + "_stage")
+    os.makedirs(land, exist_ok=True)
+    for f in os.listdir(land + "_stage"):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(land + "_stage", f), os.path.join(land, f))
+    stream = spark.readStream.schema(schema).parquet(land)
+    out = str(tmp_path / "sout")
+    q = (
+        dedup_stream(stream).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", str(tmp_path / "sckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    rows = spark.read.parquet(out)
+    assert dict(rows.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"] for r in rows.collect()}
+    assert got == {"doc-a", "doc-c"}  # min() on strings -> lexicographic keeper
