@@ -57,12 +57,23 @@ def _rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(out, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
 
 
-ALL = sorted(entrymod.queries().keys())
+ALL = sorted(entrymod.queries().keys()) + sorted(entrymod.pytest_only_queries().keys())
+
+
+def test_driver_gate_set_fits_cap():
+    """VERDICT r5 #1: the driver records at most 50 CORRECTNESS rows;
+    every queries() entry must land one, so the dict must not exceed
+    50 (and every entry has an oracle)."""
+    qs = entrymod.queries()
+    assert len(qs) <= 50, f"{len(qs)} queries overflow the driver's 50-row cap"
+    missing = sorted(set(qs) - set(entrymod.oracle_sql()))
+    assert not missing, f"gate queries without oracles: {missing}"
 
 
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, duck, name):
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    qs = {**entrymod.queries(), **entrymod.pytest_only_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.pytest_only_oracle_sql()}
     sdf = qs[name](spark, SF_DIR).toPandas()
     if name not in oracles:
         assert len(sdf) >= 0  # rows-only check
