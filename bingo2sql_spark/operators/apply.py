@@ -90,6 +90,7 @@ def _merge_batch(
     n_out: int,
     emit_changed: bool = False,
     elect: bool = False,
+    win: DataFrame | None = None,
 ) -> DataFrame:
     """The MERGE: per-key LWW by source seq over stored ∪ batch rows
     (collapses multiple events per key within the batch too). Tombstones
@@ -119,22 +120,36 @@ def _merge_batch(
     seq stored AND in the batch) passes twice and the unchanged final
     aggregate — still the exact arbiter — collapses it. Invalid for
     partial=True (per-column winners draw columns from row-level
-    losers), enforced by the caller."""
+    losers), enforced by the caller.
+
+    `win` — an already-materialized winning-seq set (the runtime
+    "auto" fallback persisted + counted it to check the broadcast
+    bound, VERDICT r5 #3): used as-is so the broadcast reads the
+    cached blocks instead of recomputing the election aggregate."""
     both = current.unionByName(batch_rows)
     if elect:
         if partial:
             raise ValueError("key-only election cannot apply to MINIMAL-image merges")
-        win = (
-            both.select(*S.MERGE_KEYS, "_ingest_seq")
-            .groupBy(*S.MERGE_KEYS)
-            .agg(F.max("_ingest_seq").alias("_win_seq"))
-            .select("_win_seq")
-        )
+        if win is None:
+            win = _election_winners(both)
         both = both.join(
             F.broadcast(win), both["_ingest_seq"] == win["_win_seq"], "left_semi"
         )
     both = both.repartition(n_out, "bucket")
     return _per_key_winners(both, all_cols, partial, emit_changed)
+
+
+def _election_winners(both: DataFrame) -> DataFrame:
+    """The key-only election's narrow aggregate: one (max seq) row per
+    distinct candidate key — map-side combined, shuffle carries 8 B/key
+    of payload. Shared by the in-plan election and the runtime "auto"
+    bound check (which persists + counts this before broadcasting)."""
+    return (
+        both.select(*S.MERGE_KEYS, "_ingest_seq")
+        .groupBy(*S.MERGE_KEYS)
+        .agg(F.max("_ingest_seq").alias("_win_seq"))
+        .select("_win_seq")
+    )
 
 
 def _per_key_winners(
@@ -307,14 +322,21 @@ class IcebergLiteTable:
         #: MERGE shuffle strategy (see _merge_batch): "full" shuffles
         #: every candidate row's content (the classic plan); "election"
         #: always runs the key-only winner election + broadcast
-        #: semi-join; "auto" elects when the manifest-metadata upper
-        #: bound on candidate keys (stored rows of affected buckets +
-        #: batch rows from the pruning pre-pass) stays under
-        #: `election_max_rows` — past that the winning-seq broadcast
-        #: (8 bytes/key + set overhead) stops being driver/executor-safe
-        #: and the full shuffle is the scalable plan. MINIMAL-image
-        #: commits always use "full" (election is per-row, their merge
-        #: is per-column).
+        #: semi-join; "auto" elects when the candidate-key count fits
+        #: under `election_max_rows` — past that the winning-seq
+        #: broadcast (8 bytes/key + set overhead) stops being
+        #: driver/executor-safe and the full shuffle is the scalable
+        #: plan. The bound is checked two ways (VERDICT r5 #3): when
+        #: manifest metadata + the pruning pre-pass give a static upper
+        #: bound under the cap, that decides for free; on every other
+        #: path (empty table, MOR delta append, over-the-cap estimate)
+        #: the RUNTIME FALLBACK materializes + counts the narrow
+        #: election aggregate itself and abandons the broadcast past
+        #: the bound — so "auto" is deployable as the default on every
+        #: path, never guessing. The commit metric
+        #: `election_decided_by` records which branch fired.
+        #: MINIMAL-image commits always use "full" (election is
+        #: per-row, their merge is per-column).
         #:
         #: Default "full": measured on this box (BENCH/shuffle_bytes.py,
         #: 3.2M events / 400k keys / 16 pinned cores, fresh JVMs)
@@ -762,6 +784,7 @@ class IcebergLiteTable:
         new_version = m["version"] + 1
 
         elect = False
+        elect_by = None
         if affected:
             if mor:
                 # delta append: the batch self-merges (per-key winners
@@ -821,37 +844,68 @@ class IcebergLiteTable:
             par = batch.sparkSession.sparkContext.defaultParallelism
             n_out = max(1, min(len(affected), 4 * par))
             # key-only election decision (see merge_strategy docstring):
-            # "auto" needs a KNOWN candidate upper bound — stored rows of
-            # the affected buckets from manifest metadata plus the batch
-            # rows the pruning pre-pass measured; paths without the
-            # pre-pass (empty table, MOR delta append) have no bound and
-            # stay on the full shuffle unless election is forced.
+            # "auto" elects when the candidate-key count fits the
+            # winning-seq broadcast bound. When manifest metadata + the
+            # pruning pre-pass give a KNOWN upper bound under the cap,
+            # that decides for free (distinct keys <= rows, so the
+            # static bound is sufficient). Otherwise — empty table, MOR
+            # delta append, or an over-the-cap estimate whose true key
+            # count may still be small — the RUNTIME FALLBACK
+            # (VERDICT r5 #3) materializes the narrow election
+            # aggregate, counts it (the aggregate is the cheap part of
+            # the election either way), and abandons the broadcast past
+            # the bound instead of guessing. "auto" is thereby safe as
+            # the default on every path.
+            win_df = None
             if not partial and self.merge_strategy != "full":
                 if self.merge_strategy == "election":
                     elect = True
-                elif batch_counts is not None:
-                    br_map = m.get("bucket_rows", {})
-                    lin = m.get("lineage", {})
-                    stored_est = 0
-                    for bk in affected:
-                        bkey = str(bk)  # NB: must not shadow the batch df `b`
-                        if bkey in br_map:
-                            stored_est += int(br_map[bkey].get("base", 0)) + int(
-                                br_map[bkey].get("delta", 0)
-                            )
-                        elif bkey in lin:
-                            stored_est += int(lin[bkey].get("rows") or 0)
-                    elect = (
-                        stored_est + batch_counts["rows"] <= self.election_max_rows
-                    )
+                    elect_by = "forced"
+                else:
+                    bound_known = False
+                    if batch_counts is not None:
+                        br_map = m.get("bucket_rows", {})
+                        lin = m.get("lineage", {})
+                        stored_est = 0
+                        for bk in affected:
+                            bkey = str(bk)  # NB: must not shadow the batch df `b`
+                            if bkey in br_map:
+                                stored_est += int(br_map[bkey].get("base", 0)) + int(
+                                    br_map[bkey].get("delta", 0)
+                                )
+                            elif bkey in lin:
+                                stored_est += int(lin[bkey].get("rows") or 0)
+                        bound_known = (
+                            stored_est + batch_counts["rows"]
+                            <= self.election_max_rows
+                        )
+                    if bound_known:
+                        elect = True
+                        elect_by = "static"
+                    else:
+                        from pyspark import StorageLevel
+
+                        win_df = _election_winners(
+                            current.unionByName(batch_rows)
+                        ).persist(StorageLevel.MEMORY_AND_DISK)
+                        n_winners = win_df.count()
+                        if n_winners <= self.election_max_rows:
+                            elect = True
+                            elect_by = "runtime"
+                        else:
+                            win_df.unpersist()
+                            win_df = None
+                            elect_by = "runtime_abandoned"
             merged = _merge_batch(
                 current, batch_rows, all_cols, partial, n_out,
-                emit_changed=mor and partial, elect=elect,
+                emit_changed=mor and partial, elect=elect, win=win_df,
             )
             merged = merged.withColumn("pbucket", F.col("bucket"))
             snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
             merged.write.mode("overwrite").partitionBy("pbucket").parquet(snap_dir)
             written = self._bucket_footer_stats(snap_dir)
+            if win_df is not None:
+                win_df.unpersist()  # broadcast consumed during the write
         else:
             written = {}
 
@@ -911,6 +965,12 @@ class IcebergLiteTable:
             "merge_plan": "election" if elect else "full",
             "commit_secs": round(time.time() - t0, 3),
         }
+        if elect_by is not None:
+            # how the election decision was reached: forced (strategy),
+            # static (metadata bound under cap), runtime (counted the
+            # narrow aggregate), runtime_abandoned (count over cap ->
+            # fell back to the full shuffle)
+            metrics["election_decided_by"] = elect_by
         if mor:
             metrics["delta_depth"] = max((len(v) for v in deltas.values()), default=0)
             metrics["read_amplification"] = round(read_amp, 4)

@@ -927,17 +927,22 @@ def test_merge_strategy_election_converges(spark, small_events, events_pdf, tmp_
 
     cut = int(events_pdf["seq"].max()) // 3
     for mode in ("cow", "mor"):
-        t = IcebergLiteTable(
-            str(tmp_path / f"el_{mode}"), n_buckets=8,
-            write_mode=mode, merge_strategy="election",
-        )
-        m1 = replay(small_events.filter(f"seq <= {cut}"), t, batch_id="p1")
-        m2 = replay(small_events.filter(f"seq > {cut}"), t, batch_id="p2")
-        assert m1["merge_plan"] == "election" and m2["merge_plan"] == "election"
-        # overlapping re-replay: stored and batch rows share seqs
-        replay(small_events.filter(f"seq > {cut // 2}"), t, batch_id="p3")
-        expected = oracle.state_checksum(oracle.sequential_apply(events_pdf))
-        assert t.state_checksum(spark) == expected, mode
+        for strat in ("election", "auto"):
+            t = IcebergLiteTable(
+                str(tmp_path / f"el_{mode}_{strat}"), n_buckets=8,
+                write_mode=mode, merge_strategy=strat,
+            )
+            m1 = replay(small_events.filter(f"seq <= {cut}"), t, batch_id="p1")
+            m2 = replay(small_events.filter(f"seq > {cut}"), t, batch_id="p2")
+            if strat == "election":
+                assert m1["merge_plan"] == "election" and m2["merge_plan"] == "election"
+            else:
+                # auto now elects on every path (runtime fallback)
+                assert m1["election_decided_by"] in ("static", "runtime")
+            # overlapping re-replay: stored and batch rows share seqs
+            replay(small_events.filter(f"seq > {cut // 2}"), t, batch_id="p3")
+            expected = oracle.state_checksum(oracle.sequential_apply(events_pdf))
+            assert t.state_checksum(spark) == expected, (mode, strat)
     # flashback through an electing table empties it
     t2 = IcebergLiteTable(
         str(tmp_path / "el_fb"), n_buckets=8, merge_strategy="election"
@@ -948,23 +953,40 @@ def test_merge_strategy_election_converges(spark, small_events, events_pdf, tmp_
 
 
 def test_merge_strategy_auto_policy(spark, small_events, tmp_path):
-    """auto elects only when the metadata bound is KNOWN and under the
-    cap: the empty-table initial load has no pre-pass bound (full);
-    the pruned second commit elects; a tiny election_max_rows forces
-    full everywhere; MINIMAL-image commits never elect."""
+    """auto elects on EVERY path (VERDICT r5 #3): the empty-table
+    initial load has no static pre-pass bound, so the runtime fallback
+    counts the narrow election aggregate and elects; the pruned second
+    commit elects on the free static bound; a tiny election_max_rows
+    makes the runtime count abandon the broadcast (full plan) — never a
+    guess; MINIMAL-image commits never elect."""
     t = IcebergLiteTable(str(tmp_path / "auto"), n_buckets=8, merge_strategy="auto")
     m1 = replay(small_events.filter("seq < 800"), t, batch_id="a1")
-    assert m1["merge_plan"] == "full"  # no candidate bound on empty table
+    # empty table: no static bound -> runtime count decides (and elects)
+    assert m1["merge_plan"] == "election"
+    assert m1["election_decided_by"] == "runtime"
     m2 = replay(small_events.filter("seq >= 800"), t, batch_id="a2")
     assert m2["merge_plan"] == "election"
+    assert m2["election_decided_by"] == "static"
 
     t2 = IcebergLiteTable(
         str(tmp_path / "auto2"), n_buckets=8, merge_strategy="auto",
         election_max_rows=10,
     )
-    replay(small_events.filter("seq < 800"), t2, batch_id="a1")
+    ma = replay(small_events.filter("seq < 800"), t2, batch_id="a1")
+    assert ma["merge_plan"] == "full"  # runtime count > 10 -> abandoned
+    assert ma["election_decided_by"] == "runtime_abandoned"
     m = replay(small_events.filter("seq >= 800"), t2, batch_id="a2")
-    assert m["merge_plan"] == "full"  # bound exceeded -> scalable plan
+    assert m["merge_plan"] == "full"  # static bound exceeded, count too
+    assert m["election_decided_by"] == "runtime_abandoned"
+
+    # auto on MOR delta commits: no pre-pass either -> runtime decides
+    t4 = IcebergLiteTable(
+        str(tmp_path / "auto4"), n_buckets=8, merge_strategy="auto",
+        write_mode="mor",
+    )
+    mm = replay(small_events.filter("seq < 800"), t4, batch_id="a1")
+    assert mm["merge_plan"] == "election"
+    assert mm["election_decided_by"] == "runtime"
 
     from bingo2sql_spark.sources.synth import generate_events
 
