@@ -392,3 +392,149 @@ def lookup(registry: dict[str, TableMeta], db: str, table: str) -> TableMeta | N
     """Event -> registry resolution: qualified key first, then the
     unqualified table name (cacheNewTable stores both views)."""
     return registry.get(f"{db}.{table}".lower()) or registry.get(table.lower())
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE (VERDICT r5 #4): the DDL event stream drives evolution
+# ---------------------------------------------------------------------------
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+"
+    + _IDENT.format(tag="a")
+    + r"(?:\s*\.\s*"
+    + _IDENT.format(tag="b")
+    + r")?\s+(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ADD_COL_RE = re.compile(
+    r"^ADD\s+(?:COLUMN\s+)?(?!\b(?:INDEX|KEY|CONSTRAINT|UNIQUE|PRIMARY|FOREIGN|FULLTEXT|SPATIAL)\b)(?P<def>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_COL_RE = re.compile(
+    r"^DROP\s+(?:COLUMN\s+)?(?!\b(?:INDEX|KEY|PRIMARY|FOREIGN|CONSTRAINT)\b)"
+    + _IDENT.format(tag="d")
+    + r"\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_alter_table(
+    stmt: str, default_db: str = ""
+) -> tuple[str, str, list[tuple[str, object]]] | None:
+    """One ALTER TABLE statement -> (db, table, actions); None if the
+    statement is not an ALTER TABLE. Actions are ("add", ColumnMeta) /
+    ("drop", column_name) in statement order — the MySQL forms the
+    binlog's Query events actually carry for schema evolution (the
+    reference detects the DDL and re-fetches the schema,
+    checkCanParse core/parser.go:1242-1253; this engine applies the
+    delta itself). Other alter specifications (COMMENT, ENGINE,
+    indexes, partitioning, MODIFY of display attrs) yield no actions —
+    a no-op for column evolution, matching how the reference only
+    cares that columns changed. The ADD column definition reuses the
+    CREATE TABLE column parser (UNSIGNED / generated / key options
+    respected; string literals blanked before keyword scanning)."""
+    m = _ALTER_RE.match(stmt)
+    if not m:
+        return None
+    first, second = _ident(m, "a"), m.group("bqb") or m.group("bareb")
+    db, table = (first, second) if second else (default_db, first)
+    actions: list[tuple[str, object]] = []
+    for item in _split_top_level_commas(m.group("tail")):
+        item = item.strip().rstrip(";").strip()
+        if not item:
+            continue
+        add = _ADD_COL_RE.match(item)
+        if add:
+            # strip a trailing FIRST / AFTER <col> position clause —
+            # this engine's tables are columnar, position is cosmetic
+            coldef = re.sub(
+                r"\s+(?:FIRST|AFTER\s+(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*))\s*$",
+                "",
+                add.group("def"),
+                flags=re.IGNORECASE,
+            )
+            col = _parse_column(coldef.strip())
+            if col is not None:
+                actions.append(("add", col))
+            continue
+        drop = _DROP_COL_RE.match(item)
+        if drop:
+            actions.append(("drop", _ident(drop, "d")))
+            continue
+        # COMMENT/ENGINE/index/partition alterations: no column delta
+    return (db, table, actions)
+
+
+def apply_alter(meta: TableMeta, actions: list[tuple[str, object]]) -> TableMeta:
+    """Apply parsed ALTER actions to a TableMeta: ADD appends (loud on
+    a duplicate name — silently merging two definitions would corrupt
+    rendering), DROP removes (loud on a missing name — the stream and
+    the registry disagree about the schema, the drift the reference's
+    checkCanParse refuses to parse through). Returns a NEW TableMeta
+    with schema_ver bumped."""
+    cols = list(meta.columns)
+    names = {c.name.lower() for c in cols}
+    for kind, payload in actions:
+        if kind == "add":
+            if payload.name.lower() in names:
+                raise ValueError(
+                    f"ALTER ADD COLUMN {payload.name!r}: column already exists "
+                    f"on {meta.db}.{meta.table} — registry and stream disagree"
+                )
+            cols.append(payload)
+            names.add(payload.name.lower())
+        else:
+            if payload.lower() not in names:
+                raise ValueError(
+                    f"ALTER DROP COLUMN {payload!r}: no such column on "
+                    f"{meta.db}.{meta.table} — registry and stream disagree"
+                )
+            cols = [c for c in cols if c.name.lower() != payload.lower()]
+            names.discard(payload.lower())
+    return TableMeta(
+        db=meta.db, table=meta.table, schema_ver=meta.schema_ver + 1, columns=cols
+    )
+
+
+def evolve_registry(
+    registry: dict[str, TableMeta], stmt: str, default_db: str = ""
+) -> dict[str, TableMeta]:
+    """Feed one DDL statement from the event stream into the table
+    registry (returns a NEW dict): CREATE TABLE registers, ALTER TABLE
+    ADD/DROP COLUMN evolves the existing entry (unknown tables are
+    ignored, as readTableSchema ignores tables it was never given),
+    DROP TABLE removes. This is what lets a mid-stream DDL evolve
+    per-table rendering metadata without operator intervention."""
+    out = dict(registry)
+    created = parse_create_table(stmt, default_db=default_db)
+    if created is not None:
+        key = f"{created.db}.{created.table}".lower() if created.db else created.table.lower()
+        out[key] = created
+        return out
+    altered = parse_alter_table(stmt, default_db=default_db)
+    if altered is not None:
+        db, table, actions = altered
+        if not actions:
+            return out
+        qual, unqual = f"{db}.{table}".lower(), table.lower()
+        key = qual if qual in out else (unqual if unqual in out else None)
+        if key is None:
+            return out  # never registered: not ours to evolve
+        out[key] = apply_alter(out[key], actions)
+        return out
+    dropm = re.match(
+        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+        + _IDENT.format(tag="a")
+        + r"(?:\s*\.\s*"
+        + _IDENT.format(tag="b")
+        + r")?",
+        stmt,
+        re.IGNORECASE,
+    )
+    if dropm:
+        first, second = _ident(dropm, "a"), dropm.group("bqb") or dropm.group("bareb")
+        db, table = (first, second) if second else (default_db, first)
+        out.pop(f"{db}.{table}".lower(), None)
+        out.pop(table.lower(), None)
+    return out

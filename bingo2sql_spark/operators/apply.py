@@ -646,7 +646,11 @@ class IcebergLiteTable:
     # -- write path --------------------------------------------------------------
 
     def commit(
-        self, batch: DataFrame, batch_id: str, rebase_past_head: bool = False
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        rebase_past_head: bool = False,
+        drop_columns: list[str] | None = None,
     ) -> dict[str, Any]:
         """Idempotent, convergent MERGE of one micro-batch.
 
@@ -706,6 +710,18 @@ class IcebergLiteTable:
 
         payload_cols = [c for c in batch.columns if not c.startswith("_")]
         all_cols = list(dict.fromkeys(m["columns"] + payload_cols))  # schema evolution: union
+        if drop_columns:
+            # DDL-driven DROP COLUMN (VERDICT r5 #4): the column leaves
+            # the CURRENT schema — rewritten buckets omit it physically,
+            # untouched buckets keep old files but every read projects
+            # the manifest's column list, so it disappears everywhere at
+            # this snapshot while time travel to older versions still
+            # shows it (Iceberg drop-column semantics). Merge keys are
+            # the table's identity and cannot be dropped.
+            doomed = {c.lower() for c in drop_columns}
+            if any(k.lower() in doomed for k in S.MERGE_KEYS):
+                raise ValueError(f"cannot drop merge key column(s): {sorted(doomed)}")
+            all_cols = [c for c in all_cols if c.lower() not in doomed]
 
         b = batch.withColumn("bucket", bucket_col(self.n_buckets)).withColumnRenamed(
             "_seq", "_ingest_seq"

@@ -29,12 +29,81 @@ def replay(
     schema_ver: int = S.LATEST_SCHEMA_VER,
     repartition: int | None = None,
     row_image: str = "FULL",
+    table_meta: "TableMeta | None" = None,
+    evolve_from_ddl: bool = False,
     **filter_kwargs: Any,
 ) -> dict[str, Any]:
     """Replay a set of change events into the target table. Returns the
     commit metrics. Filters are applied BEFORE any widening transform so
-    Catalyst pushes them into the scan."""
+    Catalyst pushes them into the scan.
+
+    evolve_from_ddl=True (VERDICT r5 #4): ALTER TABLE statements
+    carried by the stream's own op='ddl' events drive the target
+    table's schema — an ADD COLUMN takes effect at the ALTER's seq
+    (events before it are masked to NULL even if wire bytes raced the
+    DDL; stored rows NULL-backfill on read), a DROP COLUMN leaves the
+    current schema at this commit (time travel still sees it). Needs
+    `table_meta` (the table's registry entry — e.g. from
+    ddl.parse_schema_file — naming its db/table and pre-batch columns).
+    DDL events are metadata-scale (one per schema change), so the
+    collect below is a few rows; the evolution itself is a pure
+    projection, costing nothing at any scale."""
+    if evolve_from_ddl:
+        # the DDL events ARE the evolution signal — keep them through
+        # the gates (they leave the DML path right below)
+        filter_kwargs.setdefault("include_ddl", True)
     ev = FL.apply_filters(events, flashback=flashback, **filter_kwargs)
+    evolved_cols: list[str] | None = None
+    valid_from: dict[str, int | None] = {}
+    drop_cols: list[str] = []
+    if evolve_from_ddl:
+        if table_meta is None:
+            raise ValueError("evolve_from_ddl=True requires table_meta")
+        if row_image == "MINIMAL" or flashback:
+            raise NotImplementedError(
+                "DDL-driven evolution composes with FULL-image forward "
+                "replay; evolve MINIMAL/flashback streams at batch "
+                "boundaries instead"
+            )
+        if "statement" not in ev.columns:
+            raise ValueError(
+                "evolve_from_ddl=True but the stream has no `statement` "
+                "column (op='ddl' Query events carry it)"
+            )
+        from bingo2sql_spark import ddl as DL
+
+        ddl_rows = (
+            ev.filter((F.col("op") == S.OP_DDL) & F.col("statement").isNotNull())
+            .select("seq", "statement")
+            .collect()
+        )
+        meta = table_meta
+        start_cols = [c.name for c in meta.columns]
+        valid_from = {c: None for c in start_cols}
+        for r in sorted(ddl_rows, key=lambda r: r["seq"]):
+            parsed = DL.parse_alter_table(r["statement"], default_db=meta.db)
+            if parsed is None:
+                continue
+            db, tbl, actions = parsed
+            if not actions or tbl.lower() != meta.table.lower() or (
+                db and meta.db and db.lower() != meta.db.lower()
+            ):
+                continue
+            meta = DL.apply_alter(meta, actions)
+            now = {c.name for c in meta.columns}
+            for c in now:
+                if c not in valid_from:
+                    valid_from[c] = int(r["seq"])  # ADDed here
+            for c in list(valid_from):
+                if c not in now:
+                    del valid_from[c]  # DROPped here
+                    if c in start_cols:
+                        drop_cols.append(c)
+        # a column dropped then RE-ADDED within the batch survives (its
+        # values start at the re-add seq, old values lost — MySQL drop
+        # semantics); only net drops leave the table schema
+        drop_cols = [c for c in drop_cols if c not in valid_from]
+        evolved_cols = [c.name for c in meta.columns if not c.generated]
     ev = ev.filter(F.col("op") != S.OP_DDL)
     if flashback and row_image == "MINIMAL":
         # same constraint as MySQL flashback tooling: rollback needs the
@@ -61,6 +130,13 @@ def replay(
     # per-key LWW (one shuffle instead of two)
     if row_image == "MINIMAL":
         batch = R.to_upsert_rows_partial(ev, schema_ver=schema_ver)
+    elif evolved_cols is not None:
+        batch = R.to_upsert_rows_evolved(ev, evolved_cols, valid_from)
     else:
         batch = R.to_upsert_rows(ev, schema_ver=schema_ver)
-    return table.commit(batch, batch_id, rebase_past_head=flashback)
+    return table.commit(
+        batch,
+        batch_id,
+        rebase_past_head=flashback,
+        drop_columns=drop_cols or None,
+    )

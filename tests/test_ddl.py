@@ -308,3 +308,59 @@ def test_string_literals_never_drive_option_keywords():
     assert t2.key_columns == ["a"]
     assert [c.name for c in t2.columns if c.unsigned] == ["a"]
     assert [c.name for c in t2.columns if c.unique] == ["b"]
+
+
+def test_parse_alter_table_variants():
+    from bingo2sql_spark.ddl import parse_alter_table
+
+    db, tbl, acts = parse_alter_table(
+        "ALTER TABLE `test`.`repo_files` ADD COLUMN `branch` varchar(255) AFTER `content`, "
+        "DROP COLUMN lang, ADD flags int unsigned, "
+        "ADD INDEX idx_b (branch), COMMENT 'x', ENGINE=InnoDB"
+    )
+    assert (db, tbl) == ("test", "repo_files")
+    assert [(k, getattr(v, "name", v)) for k, v in acts] == [
+        ("add", "branch"), ("drop", "lang"), ("add", "flags")
+    ]
+    assert acts[2][1].unsigned
+    # unqualified + bare ADD without COLUMN keyword + FIRST position
+    _, t2, a2 = parse_alter_table("ALTER TABLE t ADD c text FIRST", default_db="d")
+    assert t2 == "t" and a2[0][1].name == "c"
+    # generated add column is marked generated
+    _, _, a3 = parse_alter_table("ALTER TABLE t ADD total int AS (a+b) STORED")
+    assert a3[0][1].generated
+    # not an ALTER
+    assert parse_alter_table("CREATE TABLE x (a int)") is None
+    # no column actions -> empty list (COMMENT-only alters, the synth's)
+    _, _, a4 = parse_alter_table("ALTER TABLE `test`.`repo_files` COMMENT 'ddl-1'")
+    assert a4 == []
+    # DROP PRIMARY KEY / DROP INDEX are not column drops
+    _, _, a5 = parse_alter_table("ALTER TABLE t DROP PRIMARY KEY, DROP INDEX idx")
+    assert a5 == []
+
+
+def test_apply_alter_and_evolve_registry():
+    from bingo2sql_spark.ddl import (
+        apply_alter, evolve_registry, lookup, parse_alter_table, parse_schema_text,
+    )
+
+    reg = parse_schema_text("CREATE TABLE test.t (id int primary key, a int)")
+    _, _, acts = parse_alter_table("ALTER TABLE test.t ADD b varchar(10), DROP COLUMN a")
+    meta = apply_alter(reg["test.t"], acts)
+    assert [c.name for c in meta.columns] == ["id", "b"]
+    assert meta.schema_ver == reg["test.t"].schema_ver + 1
+    # loud on disagreement
+    import pytest as _p
+    with _p.raises(ValueError, match="already exists"):
+        apply_alter(meta, [("add", meta.columns[0])])
+    with _p.raises(ValueError, match="no such column"):
+        apply_alter(meta, [("drop", "zzz")])
+    # registry-level evolution: ALTER evolves, unknown table ignored,
+    # DROP TABLE removes, CREATE registers
+    reg2 = evolve_registry(reg, "ALTER TABLE test.t ADD c int")
+    assert [c.name for c in lookup(reg2, "test", "t").columns] == ["id", "a", "c"]
+    assert evolve_registry(reg, "ALTER TABLE other.x ADD c int") == reg
+    reg3 = evolve_registry(reg2, "CREATE TABLE u (k int primary key)")
+    assert "u" in reg3
+    reg4 = evolve_registry(reg3, "DROP TABLE test.t")
+    assert lookup(reg4, "test", "t") is None and "u" in reg4

@@ -1140,3 +1140,79 @@ def test_signature_store_families_lockstep(spark, small_events, tmp_path, family
         a = {(r["repo"], r["path"], tuple(r["embedding"])) for r in got.collect()}
         b = {(r["repo"], r["path"], tuple(r["embedding"])) for r in full.collect()}
     assert a == b and a
+
+
+def test_ddl_driven_schema_evolution_end_to_end(spark, tmp_path):
+    """VERDICT r5 #4: an ALTER TABLE carried by the stream's own
+    op='ddl' events evolves the target table without operator
+    intervention. ADD COLUMN takes effect at the ALTER's seq — rows
+    last written before it read NULL (backfill), a wire value RACING
+    the DDL (branch bytes on a pre-ALTER event) is masked; a later
+    DROP COLUMN removes the column from the current schema while time
+    travel still shows it."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from bingo2sql_spark import ddl as DL
+    from bingo2sql_spark import schema as S
+
+    ddl_schema = T.StructType(
+        list(S.ENVELOPE.fields) + [T.StructField("statement", T.StringType())]
+    )
+
+    def img(key, commit, content, branch=None):
+        return {"repo": "r1", "path": key, "commit": commit, "lang": "go",
+                "content": content, "branch": branch}
+
+    def row(seq, op, key, commit=None, content=None, branch=None, stmt=None):
+        after = None if op in ("delete", "ddl") else img(key, commit, content, branch)
+        before = None if op in ("insert", "ddl") else img(key, "c0", "x")
+        return (seq, "bin.1", seq, None, None, datetime.datetime(2024, 1, 1),
+                1, "test", "repo_files", op, before, after, None, 2, stmt)
+
+    meta = DL.parse_schema_text(
+        "CREATE TABLE test.repo_files (repo varchar(64), path varchar(255), "
+        "commit varchar(40), lang varchar(16), content text, "
+        "PRIMARY KEY (repo, path))"
+    )["test.repo_files"]
+
+    events1 = spark.createDataFrame([
+        row(1, "insert", "f1", "c1", "one"),
+        # STRAY wire value racing the DDL: branch set BEFORE the ALTER
+        row(2, "insert", "f2", "c2", "two", branch="stray"),
+        row(3, "insert", "f3", "c3", "three"),
+        row(100, "ddl", None,
+            stmt="ALTER TABLE `test`.`repo_files` ADD COLUMN `branch` varchar(255)"),
+        row(101, "update", "f1", "c4", "one-v2", branch="main"),
+    ], ddl_schema)
+
+    t = IcebergLiteTable(str(tmp_path / "evo"), n_buckets=4)
+    m1 = replay(events1, t, batch_id="e1", table_meta=meta, evolve_from_ddl=True)
+    got = {r["path"]: (r["content"], r["branch"])
+           for r in t.read(spark).select("path", "content", "branch").collect()}
+    assert got == {
+        "f1": ("one-v2", "main"),   # written after the ALTER
+        "f2": ("two", None),        # stray pre-ALTER wire value masked
+        "f3": ("three", None),      # NULL backfill
+    }
+
+    # second batch: DROP COLUMN branch mid-stream; later writes lack it
+    evolved = DL.apply_alter(meta, [("add", DL._parse_column("`branch` varchar(255)"))])
+    events2 = spark.createDataFrame([
+        row(200, "update", "f3", "c5", "three-v2", branch="dev"),
+        row(300, "ddl", None,
+            stmt="ALTER TABLE test.repo_files DROP COLUMN branch"),
+        row(301, "update", "f2", "c6", "two-v2"),
+    ], ddl_schema)
+    m2 = replay(events2, t, batch_id="e2", table_meta=evolved, evolve_from_ddl=True)
+    cur = t.read(spark)
+    assert "branch" not in cur.columns  # dropped from the current schema
+    vals = {r["path"]: r["content"] for r in cur.collect()}
+    assert vals == {"f1": "one-v2", "f2": "two-v2", "f3": "three-v2"}
+    # time travel to the pre-drop snapshot still shows the column
+    old = t.read(spark, version=m1["snapshot"])
+    assert "branch" in old.columns
+    # exactly-once unaffected
+    assert replay(events2, t, batch_id="e2", table_meta=evolved,
+                  evolve_from_ddl=True)["skipped"]
