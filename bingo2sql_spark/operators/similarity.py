@@ -499,6 +499,140 @@ def _with_table_codes(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def _centroid_matrix(
+    cents: DataFrame, id_col: str, vec_col: str, max_centroids: int
+):
+    """Collect + sort the centroid set once (guarded, metadata-scale);
+    returns (cid ndarray, (dim, C) int64 matrix) for closure shipping."""
+    crows = cents.select(id_col, vec_col).limit(max_centroids + 1).collect()
+    if len(crows) > max_centroids:
+        raise ValueError(
+            f"would collect > {max_centroids} centroids; raise centroid_mod "
+            "(cells should be ~sqrt(N), metadata-scale)"
+        )
+    crows.sort(key=lambda r: r[id_col])  # cid-ascending => stable tie-break
+    cid = np.array([r[id_col] for r in crows], dtype="int64")
+    cmat = _round_half_away(
+        np.array([r[vec_col] for r in crows], dtype="float64") * 1000
+    ).T  # (dim, C)
+    return cid, cmat
+
+
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_cols: list[str] | str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "vec_id",
+    max_centroids: int = 65_536,
+) -> DataFrame:
+    """(ids..., embedding, _cell): every vector's IVF cell — argmax
+    integer dot against the centroid set, smallest-cid tie-break (the
+    exact cell map ivf_topk computes inline). Factored out so a
+    continuously-curated corpus can MAINTAIN the assignment table
+    instead of re-assigning 10^9 vectors per query batch
+    (VERDICT r5 #5). One matmul + argmax per Arrow batch; the corpus is
+    scanned once, never shuffled here."""
+    from pyspark.sql import types as T
+
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    cid, cmat = _centroid_matrix(centroids, centroid_id_col, vec_col, max_centroids)
+    out_schema = T.StructType(
+        [vectors.schema[c] for c in ids]
+        + [vectors.schema[vec_col], T.StructField("_cell", T.LongType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _round_half_away(np.array(list(pdf[vec_col]), dtype="float64") * 1000)
+            cells = cid[np.argmax(v @ cmat, axis=1)]
+            out = pdf[ids + [vec_col]].copy()
+            out["_cell"] = cells
+            yield out
+
+    return vectors.select(*ids, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def update_ivf_assignments(
+    assignments: DataFrame,
+    changed: DataFrame,
+    centroids: DataFrame,
+    id_cols: list[str] | str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "vec_id",
+    deleted_col: str | None = None,
+    max_centroids: int = 65_536,
+) -> DataFrame:
+    """Incremental IVF maintenance (VERDICT r5 #5): the cell-assignment
+    table follows a continuously-curated corpus at O(changed vectors)
+    per batch. `changed` carries the batch's per-key net vector state —
+    (ids..., embedding[, deleted_col]) — e.g. the embedding
+    SignatureStore changelog: every changed key is EVICTED from the
+    stored assignments (null-safe anti join on the ids both tables are
+    keyed by), live changed keys re-assign with one matmul over just
+    those rows, deleted keys simply leave. The result equals
+    `ivf_assign_cells(final_corpus)` for a fixed centroid set — the
+    differential the tests pin. Centroid drift is the retrain trigger's
+    job (`ivf_needs_retrain`), not this function's."""
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    left = assignments.select(*ids, vec_col, "_cell")
+    keys = changed.select(*ids).distinct()
+    cond = None
+    for c in ids:
+        eq = left[c].eqNullSafe(keys[c])
+        cond = eq if cond is None else (cond & eq)
+    kept = left.join(keys, cond, "left_anti")
+    live = changed
+    if deleted_col is not None:
+        live = live.filter(~F.col(deleted_col))
+    fresh = ivf_assign_cells(
+        live.select(*ids, vec_col), centroids, ids, vec_col,
+        centroid_id_col, max_centroids,
+    )
+    return kept.unionByName(fresh)
+
+
+def ivf_cell_balance(assignments: DataFrame, n_centroids: int) -> dict:
+    """Cell-balance health of a maintained IVF assignment table: one
+    narrow groupBy over `_cell`. skew = max cell size / mean NON-EMPTY
+    cell size; `empty_frac` = fraction of the centroid set owning no
+    vectors. A drifted corpus concentrates into few cells — probe cost
+    grows toward brute force — which is the RETRAIN signal."""
+    rows = assignments.groupBy("_cell").count().collect()
+    sizes = [int(r["count"]) for r in rows]
+    if not sizes:
+        return {"n_vectors": 0, "max_cell": 0, "mean_cell": 0.0, "skew": 0.0,
+                "empty_frac": 1.0}
+    mean = sum(sizes) / len(sizes)
+    return {
+        "n_vectors": sum(sizes),
+        "max_cell": max(sizes),
+        "mean_cell": round(mean, 2),
+        "skew": round(max(sizes) / mean, 3),
+        "empty_frac": round(1.0 - len(sizes) / max(n_centroids, 1), 4),
+    }
+
+
+def ivf_needs_retrain(
+    assignments: DataFrame,
+    n_centroids: int,
+    max_skew: float = 8.0,
+    max_empty_frac: float = 0.5,
+) -> bool:
+    """Retrain trigger keyed on cell-balance skew (VERDICT r5 #5): True
+    when the hottest cell exceeds `max_skew`x the mean occupied cell,
+    or more than `max_empty_frac` of the centroids own nothing — both
+    say the quantizer no longer matches the corpus distribution. On
+    True: train_centroids on the current corpus, ivf_assign_cells once
+    (full), resume incremental maintenance."""
+    bal = ivf_cell_balance(assignments, n_centroids)
+    if bal["n_vectors"] == 0:
+        return False
+    return bal["skew"] > max_skew or bal["empty_frac"] > max_empty_frac
+
+
 def train_centroids(
     vectors: DataFrame,
     n_centroids: int = 256,
@@ -561,11 +695,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN (the inverted-file structure FAISS popularized):
     coarse-quantize the corpus into cells around a small centroid set,
     then score each query exactly against only its `n_probe` nearest
     cells.
+
+    `corpus_cells` — a MAINTAINED assignment table (ivf_assign_cells /
+    update_ivf_assignments output: ids, vec, `_cell`) replaces the
+    per-call corpus assignment scan entirely: on a continuously-curated
+    corpus the query path then touches only the probe join, and corpus
+    assignment cost is O(changed vectors)/commit instead of O(corpus)/
+    query batch (VERDICT r5 #5). Must have been assigned against the
+    SAME centroid set passed here.
 
     The default quantizer is DETERMINISTIC SAMPLING — every corpus
     vector with `id % centroid_mod == 0` becomes a centroid ("random
@@ -589,17 +732,7 @@ def ivf_topk(
     cents = centroids if centroids is not None else vectors.filter(
         F.col(id_col) % centroid_mod == 0
     )
-    crows = cents.select(id_col, vec_col).limit(max_centroids + 1).collect()
-    if len(crows) > max_centroids:
-        raise ValueError(
-            f"ivf_topk would collect > {max_centroids} centroids; raise "
-            "centroid_mod (cells should be ~sqrt(N), metadata-scale)"
-        )
-    crows.sort(key=lambda r: r[id_col])  # cid-ascending => stable tie-break
-    cid = np.array([r[id_col] for r in crows], dtype="int64")
-    cmat = _round_half_away(
-        np.array([r[vec_col] for r in crows], dtype="float64") * 1000
-    ).T  # (dim, C)
+    cid, cmat = _centroid_matrix(cents, id_col, vec_col, max_centroids)
 
     def with_cells(df: DataFrame, keep_id: str, n_top: int) -> DataFrame:
         out_schema = T.StructType(
@@ -630,7 +763,10 @@ def ivf_topk(
 
         return df.mapInPandas(gen, schema=out_schema)
 
-    corpus = with_cells(vectors.select(id_col, vec_col), id_col, 1)
+    if corpus_cells is not None:
+        corpus = corpus_cells.select(id_col, vec_col, "_cell")
+    else:
+        corpus = with_cells(vectors.select(id_col, vec_col), id_col, 1)
     probes = with_cells(
         queries.select(query_id_col, vec_col), query_id_col, n_probe
     ).withColumnRenamed(vec_col, "_qvec")

@@ -570,3 +570,78 @@ def test_feature_hash_embedding_unit_norm_and_determinism(spark):
     assert rows[1] == rows[2]
     rows2 = {r["doc_id"]: r["embedding"] for r in feature_hash_embedding(docs, dim=8).collect()}
     assert rows == rows2
+
+
+def test_ivf_incremental_assignments_match_full(spark, embeddings):
+    """VERDICT r5 #5: the maintained IVF assignment table — evict
+    changed keys, re-assign only them — equals a full re-assign of the
+    final corpus for a fixed centroid set; ivf_topk(corpus_cells=)
+    returns exactly the inline-assignment result."""
+    cents = embeddings.filter(F.col("vec_id") % 37 == 0)
+    base = embeddings.filter(F.col("vec_id") % 5 != 0)
+    assign0 = SIM.ivf_assign_cells(base, cents)
+    # the change batch: 1/5 of ids are NEW (were held out), every 7th
+    # existing id re-embeds (perturbed = roll the array), every 11th is
+    # deleted
+    perturbed = base.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.concat(
+            F.slice(F.col("embedding"), 2, 100000),
+            F.slice(F.col("embedding"), 1, 1),
+        ).alias("embedding"),
+        F.lit(False).alias("_gone"),
+    )
+    added = embeddings.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", "embedding", F.lit(False).alias("_gone")
+    )
+    deleted = base.filter(F.col("vec_id") % 11 == 0).select(
+        "vec_id", "embedding", F.lit(True).alias("_gone")
+    )
+    changes = perturbed.unionByName(added).unionByName(deleted)
+    # deletes win over perturbs for ids hitting both (7 and 11): drop dups
+    changes = changes.withColumn(
+        "_rk", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("vec_id").orderBy(F.col("_gone").desc())
+        )
+    ).filter(F.col("_rk") == 1).drop("_rk")
+    incr = SIM.update_ivf_assignments(assign0, changes, cents, deleted_col="_gone")
+    # final corpus state the changes describe
+    live_changed = changes.filter(~F.col("_gone")).select("vec_id", "embedding")
+    final = base.join(changes.select("vec_id"), "vec_id", "left_anti").unionByName(
+        live_changed
+    )
+    full = SIM.ivf_assign_cells(final, cents)
+    a = {(r["vec_id"], r["_cell"]) for r in incr.collect()}
+    b = {(r["vec_id"], r["_cell"]) for r in full.collect()}
+    assert a == b and a
+    # the maintained table plugs into the query path unchanged
+    queries = final.filter(F.col("vec_id") % 100 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    via_cells = SIM.ivf_topk(final, queries, k=5, centroids=cents, corpus_cells=incr)
+    inline = SIM.ivf_topk(final, queries, k=5, centroids=cents)
+    ra = {tuple(r) for r in via_cells.collect()}
+    rb = {tuple(r) for r in inline.collect()}
+    assert ra == rb and ra
+
+
+def test_ivf_retrain_trigger_on_skew(spark, embeddings):
+    """Cell-balance retrain trigger: a healthy assignment is quiet; a
+    corpus collapsed onto one cell (drift) trips the skew check; a
+    mostly-empty centroid set trips empty_frac."""
+    cents = embeddings.filter(F.col("vec_id") % 37 == 0)
+    n_cents = cents.count()
+    healthy = SIM.ivf_assign_cells(embeddings, cents)
+    assert not SIM.ivf_needs_retrain(healthy, n_cents, max_skew=50.0, max_empty_frac=0.99)
+    # drift: every vector becomes (a copy of) one centroid's vector
+    one = embeddings.filter(F.col("vec_id") % 37 == 0).limit(1).collect()[0]["embedding"]
+    drifted = embeddings.select(
+        "vec_id", F.array(*[F.lit(float(x)) for x in one]).alias("embedding")
+    )
+    collapsed = SIM.ivf_assign_cells(drifted, cents)
+    bal = SIM.ivf_cell_balance(collapsed, n_cents)
+    assert bal["max_cell"] == bal["n_vectors"]  # one cell owns everything
+    assert SIM.ivf_needs_retrain(collapsed, n_cents, max_skew=8.0)
+    assert SIM.ivf_needs_retrain(collapsed, n_cents, max_skew=1e9,
+                                 max_empty_frac=0.2)  # empties trip too
