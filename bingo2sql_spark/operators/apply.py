@@ -6,7 +6,12 @@ semantics on plain parquet (SURVEY.md §7.3) with Iceberg's architecture
 in miniature:
 
 - data files are immutable, grouped into snapshots:
-  `data/snap-<version>/pbucket=<b>/part-*.parquet`
+  `data/snap-<version>-<attempt-uuid>/pbucket=<b>/part-*.parquet` —
+  the uuid makes each WRITER ATTEMPT's dir unique, so optimistic
+  writers racing one version can never clobber or interleave files
+  before the manifest CAS decides the winner (the manifest's
+  `snap_dirs` maps version -> winning dir; losers' dirs are orphans
+  expire_snapshots reclaims)
 - a manifest (JSON, atomically renamed into place) maps every bucket to
   the snapshot that currently owns it, carries the committed-batch set
   (idempotence / exactly-once), per-bucket lineage (max binlog position
@@ -466,9 +471,14 @@ class IcebergLiteTable:
         if buckets is not None:
             want = {str(b) for b in buckets}
             all_bk = [b for b in all_bk if b in want]
+        # snapshot data dirs are per-writer-ATTEMPT unique (uuid suffix)
+        # so a CAS loser's files can never mix with the winner's; the
+        # manifest maps version -> dir (legacy name when absent)
+        snap_dirs = m.get("snap_dirs", {})
 
         def _p(v: int, b: str) -> str:
-            return os.path.join(self.path, DATA_DIR, f"snap-{v:012d}", f"pbucket={b}")
+            name = snap_dirs.get(str(v), f"snap-{v:012d}")
+            return os.path.join(self.path, DATA_DIR, name, f"pbucket={b}")
 
         paths, has_deltas = [], False
         for b in all_bk:
@@ -917,7 +927,15 @@ class IcebergLiteTable:
                 emit_changed=mor and partial, elect=elect, win=win_df,
             )
             merged = merged.withColumn("pbucket", F.col("bucket"))
-            snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
+            # per-ATTEMPT unique data dir (VERDICT r5 #6): two writers
+            # racing the same version must never share a directory — a
+            # CAS loser's overwrite would otherwise clobber (static
+            # mode) or interleave with (dynamic mode) the winner's
+            # files before the manifest race is even decided. The
+            # winning manifest records its dir; a loser's dir is an
+            # orphan expire_snapshots reclaims.
+            snap_name = f"snap-{new_version:012d}-{_uuid.uuid4().hex[:8]}"
+            snap_dir = os.path.join(self.path, DATA_DIR, snap_name)
             merged.write.mode("overwrite").partitionBy("pbucket").parquet(snap_dir)
             written = self._bucket_footer_stats(snap_dir)
             if win_df is not None:
@@ -1002,6 +1020,12 @@ class IcebergLiteTable:
                 "columns": all_cols,
                 "lineage": lineage,
                 "bucket_rows": bucket_rows,
+                # version -> unique data dir (see the write above); the
+                # map carries every still-referenced snapshot's dir
+                "snap_dirs": {
+                    **m.get("snap_dirs", {}),
+                    **({str(new_version): snap_name} if written else {}),
+                },
                 "metrics": metrics,
                 # sticky until a compaction folds the partial deltas:
                 # gates the per-column read-time merge in _read_raw
@@ -1031,13 +1055,25 @@ class IcebergLiteTable:
             # know that — an out-of-order ad-hoc replay carrying an older
             # upsert for a deleted key would otherwise resurrect it
             # (ADVICE r3). Tombstone GC stays an explicit user call.
-            c = self.compact(spark, drop_tombstones=False)
-            metrics["compacted_to"] = c.get("snapshot")
-            metrics["compaction_trigger"] = (
-                "read_amplification" if amp_hit and not depth_hit else "delta_depth"
-            )
-            metrics["delta_depth"] = 0
-            metrics["read_amplification"] = 0.0
+            try:
+                c = self.compact(spark, drop_tombstones=False)
+            except ConcurrentCommitError:
+                # a RIVAL writer landed a commit between this commit's
+                # manifest and the compaction's (VERDICT r5 #6): the
+                # compaction manifest lost the CAS. The batch commit
+                # above is already durable and the rival's delta is
+                # intact in the winning manifest — folding it here
+                # would race; skip, the deltas (this table's AND the
+                # rival's) stay readable and the next commit's trigger
+                # re-fires on the still-elevated depth/amplification.
+                metrics["compaction_skipped"] = "concurrent_writer"
+            else:
+                metrics["compacted_to"] = c.get("snapshot")
+                metrics["compaction_trigger"] = (
+                    "read_amplification" if amp_hit and not depth_hit else "delta_depth"
+                )
+                metrics["delta_depth"] = 0
+                metrics["read_amplification"] = 0.0
         return metrics
 
     def rebucket(
@@ -1175,7 +1211,9 @@ class IcebergLiteTable:
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         new_version = m["version"] + 1
-        snap_dir = os.path.join(self.path, DATA_DIR, f"snap-{new_version:012d}")
+        # per-attempt unique dir, same rationale as commit's
+        snap_name = f"snap-{new_version:012d}-{_uuid.uuid4().hex[:8]}"
+        snap_dir = os.path.join(self.path, DATA_DIR, snap_name)
         n_out = max(1, min(self.n_buckets, 4 * df.sparkSession.sparkContext.defaultParallelism))
         df.withColumn("pbucket", F.col("bucket")).repartition(n_out, "pbucket").write.mode(
             "overwrite"
@@ -1193,6 +1231,7 @@ class IcebergLiteTable:
             {
                 **m,
                 "version": new_version,
+                "snap_dirs": {**m.get("snap_dirs", {}), str(new_version): snap_name},
                 "buckets": buckets_map,
                 "deltas": {},
                 # folded deltas are base rows now: read amplification
@@ -1278,30 +1317,40 @@ class IcebergLiteTable:
         """Iceberg `expire_snapshots` analog: delete snapshot data dirs
         that no manifest in the retained window references. The current
         manifest's bucket->snapshot map pins live data; older manifests
-        beyond `keep_last` lose time-travel but free space."""
+        beyond `keep_last` lose time-travel but free space.
+
+        Liveness is by DIRECTORY NAME, not just version: a concurrent
+        writer that lost the manifest CAS leaves an orphan data dir
+        carrying the WINNER's version number (dirs are per-attempt
+        unique) — name-level tracking reclaims the orphan while the
+        winner's same-version dir stays live."""
         import shutil
 
         m = self.latest_manifest()
         if not m:
             return {"removed": 0}
 
-        def _live_of(doc: dict[str, Any]) -> set[int]:
+        def _live_of(doc: dict[str, Any]) -> tuple[set[int], set[str]]:
             vs = set(doc.get("buckets", {}).values())
             for lst in doc.get("deltas", {}).values():
                 vs |= set(lst)
-            return vs
+            sd = doc.get("snap_dirs", {})
+            names = {sd.get(str(v), f"snap-{v:012d}") for v in vs}
+            return vs, names
 
-        live = _live_of(m)
+        live, live_names = _live_of(m)
         mdir = os.path.join(self.path, MANIFEST_DIR)
         names = sorted(n for n in os.listdir(mdir) if n.startswith("manifest-") and n.endswith(".json"))
         for n in names[-keep_last:]:
             with open(os.path.join(mdir, n)) as f:
-                live |= _live_of(json.load(f))
+                vs, nm = _live_of(json.load(f))
+            live |= vs
+            live_names |= nm
         ddir = os.path.join(self.path, DATA_DIR)
         removed = 0
         if os.path.isdir(ddir):
             for d in os.listdir(ddir):
-                if d.startswith("snap-") and int(d.split("-")[1]) not in live:
+                if d.startswith("snap-") and d not in live_names:
                     shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
                     removed += 1
         return {"removed": removed, "live_snapshots": sorted(live)}

@@ -128,7 +128,9 @@ def test_bucket_pruning_reads_only_affected(spark, tmp_path):
     m = replay(one_key, t, batch_id="one")
     assert m["buckets_rewritten"] == 1
     # and the new snapshot dir contains exactly one bucket partition
-    snap = os.path.join(t.path, "data", f"snap-{m['snapshot']:012d}")
+    # (dirs carry a per-attempt uuid suffix; resolve via the manifest)
+    snap_name = t.latest_manifest()["snap_dirs"][str(m["snapshot"])]
+    snap = os.path.join(t.path, "data", snap_name)
     assert len([d for d in os.listdir(snap) if d.startswith("pbucket=")]) == 1
 
 

@@ -1216,3 +1216,79 @@ def test_ddl_driven_schema_evolution_end_to_end(spark, tmp_path):
     # exactly-once unaffected
     assert replay(events2, t, batch_id="e2", table_meta=evolved,
                   evolve_from_ddl=True)["skipped"]
+
+
+def test_inline_compaction_races_concurrent_delta_commit(spark, small_events, events_pdf, tmp_path, monkeypatch):
+    """VERDICT r5 #6: an inline auto-compaction racing a concurrent MOR
+    delta commit. Injected deterministically both ways:
+
+    (a) the RIVAL delta lands between a commit's manifest and its
+        inline compaction's manifest — the compaction loses the CAS and
+        is SKIPPED (the already-durable batch must not fail), the
+        rival's delta survives, and the next commit's trigger re-fires
+        and folds everything;
+    (b) the COMPACTION lands first and the rival loses — retry re-reads
+        the compacted manifest and re-merges.
+
+    Both end states equal the sequential oracle and tombstones survive
+    every fold (no delta loss, no resurrection window)."""
+    from bingo2sql_spark import oracle
+    from bingo2sql_spark.operators import apply as A
+    from bingo2sql_spark.operators import resolve as R
+
+    cut = int(events_pdf["seq"].max()) // 2
+    rival_batch = R.to_upsert_rows(R.with_key(small_events.filter(f"seq >= {cut}")))
+    expected = oracle.state_checksum(oracle.sequential_apply(events_pdf))
+
+    # ---- (a) rival delta lands between commit and inline compaction
+    p = str(tmp_path / "race_a")
+    t = IcebergLiteTable(p, n_buckets=8, write_mode="mor", max_delta_depth=0)
+    orig = A.IcebergLiteTable._write_manifest
+    state = {"armed": True}
+
+    def raced(self, doc):
+        if state["armed"] and doc.get("metrics", {}).get("op") == "compact":
+            state["armed"] = False  # re-entrancy: the rival commit below
+            rival = IcebergLiteTable(p, n_buckets=8, write_mode="mor")
+            rival.commit(rival_batch, batch_id="rival")  # lands the version first
+        return orig(self, doc)
+
+    monkeypatch.setattr(A.IcebergLiteTable, "_write_manifest", raced)
+    m1 = replay(small_events.filter(f"seq < {cut}"), t, batch_id="b1")
+    monkeypatch.undo()
+    # the commit itself succeeded; only the compaction stepped aside
+    assert not m1["skipped"]
+    assert m1.get("compaction_skipped") == "concurrent_writer"
+    assert "compacted_to" not in m1
+    # the rival's delta is intact: full state == sequential oracle
+    assert t.state_checksum(spark) == expected
+    m = t.latest_manifest()
+    assert any(m.get("deltas", {}).values())  # deltas (incl. rival's) live
+    # the trigger re-fires on the next commit and the fold keeps
+    # tombstones (no resurrection window)
+    m2 = t.commit(rival_batch.limit(0), batch_id="nudge")
+    assert m2.get("compacted_to")
+    assert t.state_checksum(spark) == expected
+    raw = t._read_raw(spark)
+    assert raw.filter("_deleted").count() > 0  # tombstones survived the fold
+
+    # ---- (b) compaction wins, rival loses the CAS and retries
+    p2 = str(tmp_path / "race_b")
+    t2 = IcebergLiteTable(p2, n_buckets=8, write_mode="mor", max_delta_depth=0)
+    replay(small_events.filter(f"seq < {cut}"), t2, batch_id="b1")  # compacts inline
+    state2 = {"armed": True}
+
+    def raced2(self, doc):
+        if state2["armed"] and doc.get("metrics", {}).get("op") != "compact":
+            state2["armed"] = False
+            other = IcebergLiteTable(p2, n_buckets=8, write_mode="mor",
+                                     max_delta_depth=0)
+            other.commit(rival_batch.limit(0), batch_id="compactor")  # fires inline compaction
+        return orig(self, doc)
+
+    monkeypatch.setattr(A.IcebergLiteTable, "_write_manifest", raced2)
+    mr = t2.commit_with_retry(rival_batch, "b2")
+    monkeypatch.undo()
+    assert not mr["skipped"] and not state2["armed"]
+    assert t2.state_checksum(spark) == expected
+    assert t2._read_raw(spark).filter("_deleted").count() > 0
