@@ -233,6 +233,58 @@ def serve(
                     return  # terminal frame sent; close the stream
                 time.sleep(push_interval)
 
+        def _push_ws(self, job_id: str) -> None:
+            # the LITERAL websocket framing of the reference's push
+            # (core/socket.go:34-76), stdlib-only RFC 6455: handshake
+            # (Sec-WebSocket-Accept = b64(sha1(key + GUID))), then
+            # unmasked server->client TEXT frames carrying the same
+            # {state, pct, ...} JSON the SSE channel streams, closed
+            # with a 1000 (normal) close frame at the terminal state.
+            service.progress(job_id)  # 404 via KeyError before upgrade
+            key = self.headers.get("Sec-WebSocket-Key")
+            if (
+                not key
+                or self.headers.get("Upgrade", "").lower() != "websocket"
+            ):
+                return self._send(
+                    400, {"error": "websocket upgrade required (Upgrade + Sec-WebSocket-Key)"}
+                )
+            import base64
+            import hashlib
+
+            accept = base64.b64encode(
+                hashlib.sha1(
+                    (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+                ).digest()
+            ).decode()
+            self.send_response(101, "Switching Protocols")
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", accept)
+            self.end_headers()
+            self.close_connection = True  # socket is hijacked for frames
+
+            def frame(payload: bytes, opcode: int = 0x1) -> bytes:
+                n = len(payload)
+                if n < 126:
+                    head = bytes([0x80 | opcode, n])
+                elif n < 1 << 16:
+                    head = bytes([0x80 | opcode, 126]) + n.to_bytes(2, "big")
+                else:
+                    head = bytes([0x80 | opcode, 127]) + n.to_bytes(8, "big")
+                return head + payload
+
+            while True:
+                p = service.progress(job_id)
+                self.wfile.write(frame(json.dumps(p).encode()))
+                self.wfile.flush()
+                if p["state"] not in ("running", "cancelling"):
+                    # close frame, status 1000 (normal closure)
+                    self.wfile.write(frame((1000).to_bytes(2, "big"), opcode=0x8))
+                    self.wfile.flush()
+                    return
+                time.sleep(push_interval)
+
         def do_GET(self):  # noqa: N802
             parts = self.path.strip("/").split("/")
             try:
@@ -242,6 +294,8 @@ def serve(
                     return self._send(200, {"path": service.download_path(parts[1])})
                 if len(parts) == 3 and parts[0] == "parse" and parts[2] == "events":
                     return self._push_events(parts[1])
+                if len(parts) == 3 and parts[0] == "parse" and parts[2] == "ws":
+                    return self._push_ws(parts[1])
             except (KeyError, ValueError) as e:
                 return self._send(404, {"error": str(e)})
             except (BrokenPipeError, ConnectionResetError):

@@ -248,3 +248,88 @@ def test_sse_progress_push(spark, tmp_path):
         assert e.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_websocket_progress_push(spark, tmp_path):
+    """GET /parse/:id/ws — the reference's LITERAL websocket framing
+    (core/socket.go:34-76): RFC 6455 handshake (Sec-WebSocket-Accept
+    derived from the client key), unmasked server TEXT frames carrying
+    {state, pct, ...} JSON until the terminal frame, then a 1000 close
+    frame."""
+    import base64
+    import hashlib
+    import socket
+
+    svc = ParseService(spark)
+    ev = generate_events(spark, n_keys=40, versions_per_key=3, seed=33)
+    server = serve(svc, ev, push_interval=0.2)
+    port = server.server_address[1]
+    try:
+        job_id = svc.submit(ev, str(tmp_path / "ws"), show_gtid=False)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        s = socket.create_connection(("127.0.0.1", port), timeout=240)
+        s.sendall(
+            (
+                f"GET /parse/{job_id}/ws HTTP/1.1\r\n"
+                f"Host: 127.0.0.1:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        f = s.makefile("rb")
+        status = f.readline().decode()
+        assert " 101 " in status, status
+        headers = {}
+        while True:
+            line = f.readline().decode().strip()
+            if not line:
+                break
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        expect = base64.b64encode(
+            hashlib.sha1((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()).digest()
+        ).decode()
+        assert headers["sec-websocket-accept"] == expect
+        assert headers["upgrade"].lower() == "websocket"
+
+        frames, closed = [], False
+        while True:
+            head = f.read(2)
+            if len(head) < 2:
+                break
+            fin_op, ln = head[0], head[1] & 0x7F
+            assert not (head[1] & 0x80)  # server frames are unmasked
+            if ln == 126:
+                ln = int.from_bytes(f.read(2), "big")
+            elif ln == 127:
+                ln = int.from_bytes(f.read(8), "big")
+            payload = f.read(ln)
+            op = fin_op & 0x0F
+            if op == 0x8:
+                assert int.from_bytes(payload[:2], "big") == 1000
+                closed = True
+                break
+            assert op == 0x1
+            frames.append(json.loads(payload.decode()))
+        s.close()
+        assert frames and closed
+        assert frames[-1]["state"] == "done" and frames[-1]["pct"] == 100.0
+        assert all(fr["job_id"] == job_id for fr in frames)
+
+        # non-upgrade request on the ws route is a clean 400
+        import urllib.error
+        import urllib.request
+
+        import pytest
+
+        job2 = svc.submit(ev, str(tmp_path / "ws2"), show_gtid=False)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/parse/{job2}/ws")
+        assert e.value.code == 400
+        # unknown ids 404 before any upgrade
+        with pytest.raises(urllib.error.HTTPError) as e2:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/parse/nope/ws")
+        assert e2.value.code == 404
+    finally:
+        server.shutdown()
