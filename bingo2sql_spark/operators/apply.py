@@ -188,12 +188,22 @@ def _per_key_winners(
     state order-independent ACROSS commits too: an out-of-order ad-hoc
     replay with an interleaving seq wins or loses each column against
     the column's true writer, never against an unrelated newer
-    contributor's row seq. Presence for map-carrying rows is map
-    membership with a non-null seq — a never-written (NULL-since-birth)
-    column carries a null map entry and loses to ANY real writer, while
-    a genuinely-written NULL value keeps its writer's seq. Raw event
-    rows (no map) attribute every present column to the event's own
-    seq, which is exactly what the event did."""
+    contributor's row seq. Raw event rows (no map) attribute every
+    present column to the event's own seq, which is exactly what the
+    event did.
+
+    SPARSE ENCODING (r6): the emitted map only materializes the
+    EXCEPTIONS — a column whose winning seq differs from the row-level
+    winner seq keeps its entry, and a never-written (NULL-since-birth)
+    column keeps a NULL-valued entry (it must lose to ANY real writer).
+    A column ABSENT from the map was written by the row winner at the
+    row's `_ingest_seq`. After single-writer or full-image commits —
+    the overwhelmingly common case — the map is empty, so the 10-20%
+    map-emission tax the dense encoding paid on every MINIMAL merge
+    (VERDICT r5) shrinks to a constant column. The read side decodes
+    BOTH encodings (dense maps written by earlier snapshots carry
+    redundant row-seq entries, which coalesce to the same answer), so
+    no stored table needs rewriting."""
     data_cols = [c for c in all_cols if c not in S.MERGE_KEYS]
     if not partial:
         winner = F.max_by(
@@ -215,10 +225,14 @@ def _per_key_winners(
         if has_map:
             carries_map = F.col("_col_seqs").isNotNull()
             entry = F.col("_col_seqs").getItem(c)
+            # sparse decode: a NULL-VALUED entry marks never-written; an
+            # absent key means the row winner wrote it (seq = row seq).
+            # Dense maps (row-seq entries materialized) decode identically.
+            never_written = F.map_contains_key(F.col("_col_seqs"), F.lit(c)) & entry.isNull()
             present = ~F.col("_deleted") & F.when(
-                carries_map, entry.isNotNull()
+                carries_map, ~never_written
             ).otherwise(changed_ok)
-            seq_c = F.when(carries_map, entry).otherwise(seq)
+            seq_c = F.coalesce(entry, seq)
         else:
             present = ~F.col("_deleted") & changed_ok
             seq_c = seq
@@ -244,9 +258,16 @@ def _per_key_winners(
         )
         extra = ["_changed_cols", "_col_seqs"]
     if data_cols:
-        col_seqs = F.map_from_arrays(
-            F.array(*[F.lit(c) for c in data_cols]),
-            F.array(*[F.col(f"_pw_{c}")["s"] for c in data_cols]),
+        # sparse emission: keep only exception entries — NULL seq
+        # (never-written marker) or a winner older than the row winner;
+        # everything else is implied by the row's _ingest_seq
+        row_seq = F.col("_w")["_ingest_seq"]
+        col_seqs = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in data_cols]),
+                F.array(*[F.col(f"_pw_{c}")["s"] for c in data_cols]),
+            ),
+            lambda _k, v: v.isNull() | (v != row_seq),
         ).alias("_col_seqs")
     else:
         col_seqs = F.lit(None).cast("map<string,bigint>").alias("_col_seqs")
