@@ -63,6 +63,7 @@ from bingo2sql_spark.operators.apply import IcebergLiteTable
 from bingo2sql_spark.pipeline import replay
 
 cores, raw_dir, n_events, wire = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4]
+strategy = sys.argv[5] if len(sys.argv) > 5 else "full"
 tmp = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores,
                   extra_conf={{"spark.local.dir": tmp + "/spark-local"}})
@@ -71,24 +72,36 @@ KEYS = ["repo", "path"]  # forward replay: narrow before-image decode
 decode = decode_events_typed if wire == "typed" else decode_events
 warm = IcebergLiteTable(tmp + "/warm", n_buckets=8)
 replay(decode(raw.filter("seq % 50 = 0"), before_fields=KEYS), warm, batch_id="w", tables=["repo_files"])
-t = IcebergLiteTable(tmp + "/tgt", n_buckets=64)
+t = IcebergLiteTable(tmp + "/tgt", n_buckets=64, merge_strategy=strategy)
 t0 = time.time()
 replay(decode(raw, before_fields=KEYS), t, batch_id="b", tables=["repo_files"])
 secs = time.time() - t0
-print(json.dumps({{"cores": cores, "secs": round(secs, 3)}}))
+# driver-JVM GC wall (local mode: the one JVM) — stop-the-world pauses
+# act as a SERIAL term that caps N-vs-4N efficiency, so report it
+gc_ms = sum(b.getCollectionTime()
+            for b in spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans())
+print(json.dumps({{"cores": cores, "secs": round(secs, 3),
+                   "gc_secs": round(gc_ms / 1000.0, 1)}}))
 shutil.rmtree(tmp, ignore_errors=True)
 """
 
 
-def run_one(cores: int, raw_dir: str, n_events: int, wire: str) -> float:
+def run_one(cores: int, raw_dir: str, n_events: int, wire: str,
+            strategy: str = "full") -> float:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
-         CHILD.format(repo=REPO), str(cores), raw_dir, str(n_events), wire],
+         CHILD.format(repo=REPO), str(cores), raw_dir, str(n_events), wire,
+         strategy],
         capture_output=True, text=True, timeout=1200,
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.strip().startswith("{"):
-            return json.loads(line)["secs"]
+            rec = json.loads(line)
+            if rec.get("gc_secs") is not None:
+                print(f"  cores={cores}: {rec['secs']}s (gc {rec['gc_secs']}s)",
+                      flush=True)
+            return rec["secs"]
     raise RuntimeError(f"child failed (cores={cores}):\n{out.stderr[-3000:]}")
 
 
@@ -100,6 +113,13 @@ def main() -> None:
     ap.add_argument("--wire", choices=("typed", "json"), default="typed",
                     help="raw landing format: typed structs (headline; decode is "
                          "a projection) or JSON text (connector fallback)")
+    ap.add_argument("--merge-strategy", choices=("full", "election", "auto"),
+                    default="full",
+                    help="MERGE plan: 'full' shuffles every row's payload; "
+                         "'election' reduces (keys, seq) first and shuffles "
+                         "winner payloads only — the cluster deployment mode, "
+                         "and the bandwidth-relief candidate when the in-box "
+                         "working set outgrows the shared LLC")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
@@ -126,7 +146,9 @@ def main() -> None:
         times: dict[int, list[float]] = {args.n: [], args.n * 4: []}
         for _ in range(args.runs):
             for cores in (args.n, args.n * 4):
-                times[cores].append(run_one(cores, raw_dir, args.events, args.wire))
+                times[cores].append(
+                    run_one(cores, raw_dir, args.events, args.wire,
+                            args.merge_strategy))
         results = {}
         for cores, ts in times.items():
             ts = sorted(ts)
@@ -165,7 +187,7 @@ Generated {datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")} by `python
 
 - speedup (4N vs N): **{r32["events_per_sec"] / r8["events_per_sec"]:.2f}x**
 - scaling efficiency = speedup / 4 = **{eff:.2f}** (criterion: >= 0.8)
-- all runs local[8]: {r8["all_secs"]} s; local[32]: {r32["all_secs"]} s
+- all runs local[{args.n}]: {r8["all_secs"]} s; local[{args.n * 4}]: {r32["all_secs"]} s
 
 Reference single-node baseline (BASELINE.md): ~1.45e5 change-rows/s for
 SQL-text generation only. This engine at local[{args.n * 4}]:

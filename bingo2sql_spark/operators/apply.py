@@ -320,6 +320,7 @@ class IcebergLiteTable:
         max_read_amplification: float | None = None,
         merge_strategy: str = "full",
         election_max_rows: int = 50_000_000,
+        election_min_rows: int = 0,
     ):
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
@@ -373,8 +374,22 @@ class IcebergLiteTable:
         #: broadcast are pure cost. On a CLUSTER, where those bytes
         #: cross the network/disks, the 2.4-3x byte cut is the win:
         #: deploy with merge_strategy="auto" there.
+        #:
+        #: r6 update — the in-box verdict above is SIZE-DEPENDENT: at
+        #: 32M events / 4M keys (BENCH/run_scaling.py --merge-strategy)
+        #: election is 1.27x faster at 2 cores and 1.6x at 8 cores even
+        #: on tmpfs, because once the merge working set outgrows the
+        #: shared LLC the full plan is memory-bandwidth-bound and the
+        #: byte cut pays locally too. The crossover sits around ~10M
+        #: candidate rows here. `election_min_rows` exposes that floor
+        #: to "auto": when the static pre-pass bound (stored + batch
+        #: rows) is BELOW it, the commit keeps the full plan
+        #: (`election_decided_by="below_min_rows"`). Default 0 = no
+        #: floor (cluster deployments win at any size — the bytes cross
+        #: a network); set ~8-10M for single-host deployments.
         self.merge_strategy = merge_strategy
         self.election_max_rows = election_max_rows
+        self.election_min_rows = election_min_rows
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
 
     # -- manifest bookkeeping ------------------------------------------------
@@ -909,7 +924,7 @@ class IcebergLiteTable:
                     elect = True
                     elect_by = "forced"
                 else:
-                    bound_known = False
+                    total_est = None
                     if batch_counts is not None:
                         br_map = m.get("bucket_rows", {})
                         lin = m.get("lineage", {})
@@ -922,11 +937,19 @@ class IcebergLiteTable:
                                 )
                             elif bkey in lin:
                                 stored_est += int(lin[bkey].get("rows") or 0)
-                        bound_known = (
-                            stored_est + batch_counts["rows"]
-                            <= self.election_max_rows
-                        )
-                    if bound_known:
+                        total_est = stored_est + batch_counts["rows"]
+                    if (
+                        total_est is not None
+                        and total_est < self.election_min_rows
+                    ):
+                        # below the measured single-host crossover: the
+                        # election's narrow pass + broadcast cost more
+                        # than the bytes they save (see constructor)
+                        elect_by = "below_min_rows"
+                    elif (
+                        total_est is not None
+                        and total_est <= self.election_max_rows
+                    ):
                         elect = True
                         elect_by = "static"
                     else:

@@ -998,6 +998,25 @@ def test_merge_strategy_auto_policy(spark, small_events, tmp_path):
     m = replay(mev.filter("seq >= 100"), t3, batch_id="m2", row_image="MINIMAL")
     assert m["merge_plan"] == "full"  # per-column merge: election invalid
 
+    # election_min_rows (r6): below the measured single-host crossover
+    # "auto" keeps the full plan when the static pre-pass bound is
+    # under the floor; paths without a bound (empty table) still use
+    # the runtime fallback
+    t5 = IcebergLiteTable(
+        str(tmp_path / "auto5"), n_buckets=8, merge_strategy="auto",
+        election_min_rows=10_000_000,
+    )
+    m1 = replay(small_events.filter("seq < 800"), t5, batch_id="a1")
+    assert m1["election_decided_by"] == "runtime"  # no bound: floor N/A
+    m2 = replay(small_events.filter("seq >= 800"), t5, batch_id="a2")
+    assert m2["merge_plan"] == "full"
+    assert m2["election_decided_by"] == "below_min_rows"
+    # state unaffected by the plan choice
+    ref = IcebergLiteTable(str(tmp_path / "auto5_ref"), n_buckets=8)
+    replay(small_events.filter("seq < 800"), ref, batch_id="a1")
+    replay(small_events.filter("seq >= 800"), ref, batch_id="a2")
+    assert t5.state_checksum(spark) == ref.state_checksum(spark)
+
 
 def test_minimal_out_of_order_cross_commit_column_race(spark, tmp_path):
     """The full fix for ADVICE r4: per-column seq ATTRIBUTION survives
@@ -1292,3 +1311,80 @@ def test_inline_compaction_races_concurrent_delta_commit(spark, small_events, ev
     assert not mr["skipped"] and not state2["armed"]
     assert t2.state_checksum(spark) == expected
     assert t2._read_raw(spark).filter("_deleted").count() > 0
+
+
+def test_dense_col_seqs_snapshot_decodes_like_sparse(spark, tmp_path):
+    """Back-compat for the r6 sparse exceptions-only `_col_seqs`
+    encoding: snapshots written by the older DENSE encoding (a map
+    entry for every data column, row-winner seqs materialized
+    redundantly) must decode to the same per-column winners, so no
+    stored table needs rewriting on upgrade. Simulated by densifying a
+    freshly-committed sparse snapshot in place (absent key -> row seq;
+    NULL never-written markers kept), then merging a second MINIMAL
+    batch into both tables."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    import bingo2sql_spark.schema as S
+    from bingo2sql_spark.operators import apply as A
+    from bingo2sql_spark.sources.synth import generate_events
+
+    mev = generate_events(spark, n_keys=200, versions_per_key=6, n_repos=20,
+                          seed=11, minimal_image=True).persist()
+    b1 = mev.filter("seq % 2 = 0")
+    b2 = mev.filter("seq % 2 = 1")
+
+    ts = IcebergLiteTable(str(tmp_path / "sparse"), n_buckets=8)
+    td = IcebergLiteTable(str(tmp_path / "dense"), n_buckets=8)
+    for t in (ts, td):
+        replay(b1, t, batch_id="b1", tables=["repo_files"], row_image="MINIMAL")
+
+    # densify td's stored snapshot in place (the pre-r6 on-disk shape)
+    m = td.latest_manifest()
+    data_cols = [c for c in m["columns"] if c not in S.MERGE_KEYS]
+    snap_dirs = m.get("snap_dirs", {})
+    densified = 0
+    for b, v in m["buckets"].items():
+        name = snap_dirs.get(str(v), f"snap-{int(v):012d}")
+        p = os.path.join(td.path, A.DATA_DIR, name, f"pbucket={b}")
+        df = spark.read.parquet(p)
+        dense = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in data_cols]),
+            F.array(*[
+                F.when(F.map_contains_key(F.col("_col_seqs"), F.lit(c)),
+                       F.col("_col_seqs").getItem(c))
+                .otherwise(F.col("_ingest_seq"))
+                for c in data_cols
+            ]),
+        )
+        out = df.withColumn(
+            "_col_seqs", F.when(F.col("_col_seqs").isNotNull(), dense)
+        )
+        tmp = p + ".densify"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(p)
+        os.rename(tmp, p)
+        densified += 1
+    assert densified > 0
+    # the densified table must already read back the same resolved
+    # state — compare raw rows (incl. seq + tombstones), maps excluded
+    payload = [*S.MERGE_KEYS, *data_cols, "_ingest_seq", "_deleted"]
+    assert td._read_raw(spark).select(payload).exceptAll(
+        ts._read_raw(spark).select(payload)).count() == 0
+
+    # a second out-of-order MINIMAL batch must merge identically on top
+    # of either encoding (per-column winners, not row winners)
+    for t in (ts, td):
+        replay(b2, t, batch_id="b2", tables=["repo_files"], row_image="MINIMAL")
+    a = ts._read_raw(spark).select(payload)
+    b = td._read_raw(spark).select(payload)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # and both equal the in-order oracle replay
+    to = IcebergLiteTable(str(tmp_path / "oracle"), n_buckets=8)
+    replay(mev, to, batch_id="all", tables=["repo_files"], row_image="MINIMAL")
+    o = to._read_raw(spark).select(payload)
+    assert a.exceptAll(o).count() == 0 and o.exceptAll(a).count() == 0
+    mev.unpersist()
