@@ -72,7 +72,11 @@ KEYS = ["repo", "path"]  # forward replay: narrow before-image decode
 decode = decode_events_typed if wire == "typed" else decode_events
 warm = IcebergLiteTable(tmp + "/warm", n_buckets=8)
 replay(decode(raw.filter("seq % 50 = 0"), before_fields=KEYS), warm, batch_id="w", tables=["repo_files"])
-t = IcebergLiteTable(tmp + "/tgt", n_buckets=64, merge_strategy=strategy)
+# "auto" carries the measured single-host crossover floor (~10M
+# candidate rows, BENCH/BASELINE.md round-6): below it the full plan
+# wins on tmpfs, above it the election's byte cut pays locally too
+t = IcebergLiteTable(tmp + "/tgt", n_buckets=64, merge_strategy=strategy,
+                     election_min_rows=10_000_000 if strategy == "auto" else 0)
 t0 = time.time()
 replay(decode(raw, before_fields=KEYS), t, batch_id="b", tables=["repo_files"])
 secs = time.time() - t0

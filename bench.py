@@ -67,8 +67,16 @@ def headline_replay(spark, n_events: int) -> dict:
         to_raw(env).write.mode("overwrite").parquet(src_json)
 
         # fresh pinned JVM per sample (the parent session sits idle)
-        secs = min(RS.run_one(cpus, src_typed, n_events, "typed") for _ in range(4))
-        json_secs = min(RS.run_one(cpus, src_json, n_events, "json") for _ in range(2))
+        # the headline runs the AUTO merge plan — the deployment default
+        # this engine recommends: below the measured ~10M-row single-host
+        # crossover it keeps the full shuffle (identical to rounds 1-5's
+        # protocol at sf<=0.1), above it the key-only election's byte cut
+        # pays even on tmpfs (1.6x at 8 cores at 32M; BENCH/BASELINE.md
+        # round-6)
+        secs = min(RS.run_one(cpus, src_typed, n_events, "typed", "auto")
+                   for _ in range(4))
+        json_secs = min(RS.run_one(cpus, src_json, n_events, "json", "auto")
+                        for _ in range(2))
 
         # forward replay only needs merge keys from the before image:
         # typed -> nested-schema pruning skips the before payload bytes

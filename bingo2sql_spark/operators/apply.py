@@ -382,11 +382,15 @@ class IcebergLiteTable:
         #: shared LLC the full plan is memory-bandwidth-bound and the
         #: byte cut pays locally too. The crossover sits around ~10M
         #: candidate rows here. `election_min_rows` exposes that floor
-        #: to "auto": when the static pre-pass bound (stored + batch
-        #: rows) is BELOW it, the commit keeps the full plan
-        #: (`election_decided_by="below_min_rows"`). Default 0 = no
-        #: floor (cluster deployments win at any size — the bytes cross
-        #: a network); set ~8-10M for single-host deployments.
+        #: to "auto": when stored + batch rows are BELOW it, the commit
+        #: keeps the full plan (`election_decided_by="below_min_rows"`).
+        #: Bounded paths decide from the free static estimate; no-bound
+        #: paths (empty table, MOR delta append) spend one narrow
+        #: column-pruned batch count — taken only because the floor is
+        #: configured, and cheaper than electing a below-crossover
+        #: batch by mistake. Default 0 = no floor (cluster deployments
+        #: win at any size — the bytes cross a network); set ~8-10M for
+        #: single-host deployments.
         self.merge_strategy = merge_strategy
         self.election_max_rows = election_max_rows
         self.election_min_rows = election_min_rows
@@ -925,19 +929,26 @@ class IcebergLiteTable:
                     elect_by = "forced"
                 else:
                     total_est = None
+                    br_map = m.get("bucket_rows", {})
+                    lin = m.get("lineage", {})
+                    stored_est = 0
+                    for bk in affected:
+                        bkey = str(bk)  # NB: must not shadow the batch df `b`
+                        if bkey in br_map:
+                            stored_est += int(br_map[bkey].get("base", 0)) + int(
+                                br_map[bkey].get("delta", 0)
+                            )
+                        elif bkey in lin:
+                            stored_est += int(lin[bkey].get("rows") or 0)
                     if batch_counts is not None:
-                        br_map = m.get("bucket_rows", {})
-                        lin = m.get("lineage", {})
-                        stored_est = 0
-                        for bk in affected:
-                            bkey = str(bk)  # NB: must not shadow the batch df `b`
-                            if bkey in br_map:
-                                stored_est += int(br_map[bkey].get("base", 0)) + int(
-                                    br_map[bkey].get("delta", 0)
-                                )
-                            elif bkey in lin:
-                                stored_est += int(lin[bkey].get("rows") or 0)
                         total_est = stored_est + batch_counts["rows"]
+                    elif self.election_min_rows > 0:
+                        # floor configured but no free batch count (empty
+                        # table / MOR delta append): one narrow
+                        # column-pruned count decides the floor BEFORE
+                        # any election work — cheaper than electing a
+                        # below-crossover batch by mistake
+                        total_est = stored_est + batch.count()
                     if (
                         total_est is not None
                         and total_est < self.election_min_rows

@@ -999,15 +999,16 @@ def test_merge_strategy_auto_policy(spark, small_events, tmp_path):
     assert m["merge_plan"] == "full"  # per-column merge: election invalid
 
     # election_min_rows (r6): below the measured single-host crossover
-    # "auto" keeps the full plan when the static pre-pass bound is
-    # under the floor; paths without a bound (empty table) still use
-    # the runtime fallback
+    # "auto" keeps the full plan — on bounded paths via the free static
+    # estimate, on no-bound paths (empty table / MOR) via one narrow
+    # batch count taken only because the floor is configured
     t5 = IcebergLiteTable(
         str(tmp_path / "auto5"), n_buckets=8, merge_strategy="auto",
         election_min_rows=10_000_000,
     )
     m1 = replay(small_events.filter("seq < 800"), t5, batch_id="a1")
-    assert m1["election_decided_by"] == "runtime"  # no bound: floor N/A
+    assert m1["merge_plan"] == "full"
+    assert m1["election_decided_by"] == "below_min_rows"
     m2 = replay(small_events.filter("seq >= 800"), t5, batch_id="a2")
     assert m2["merge_plan"] == "full"
     assert m2["election_decided_by"] == "below_min_rows"
