@@ -204,12 +204,18 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM WAV -> (samples float32 in [-1, 1] shaped (N,) mono or
-    (N, C), sample_rate). 8/16/32-bit PCM via stdlib wave."""
-    with wave.open(io.BytesIO(data), "rb") as wf:
-        n_channels = wf.getnchannels()
-        width = wf.getsampwidth()
-        rate = wf.getframerate()
-        frames = wf.readframes(wf.getnframes())
+    (N, C), sample_rate). 8/16/32-bit PCM via stdlib wave. Malformed
+    RIFF/WAVE payloads raise ValueError (module convention), not the
+    stdlib's wave.Error/EOFError."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            n_channels = wf.getnchannels()
+            width = wf.getsampwidth()
+            rate = wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError) as e:
+        # RuntimeError: stdlib chunk reader raises it bare on bogus sizes
+        raise ValueError(f"malformed WAV payload: {e}") from e
     if width == 2:
         arr = np.frombuffer(frames, dtype=np.int16).astype(np.float32) / 32768.0
     elif width == 4:
@@ -279,14 +285,25 @@ def pack_frames(frames: list[tuple[int, bytes]]) -> bytes:
 
 
 def unpack_frames(data: bytes) -> list[tuple[int, bytes]]:
-    """Unpack an FRMS payload to [(ts_ms, encoded_image_bytes), ...]."""
+    """Unpack an FRMS payload to [(ts_ms, encoded_image_bytes), ...].
+
+    The u32 frame count and per-frame lengths are untrusted: every
+    header and payload extent is bounds-checked against len(data), and
+    any overrun raises ValueError('truncated FRMS') — never struct.error
+    and never silently-short frame bytes."""
     if data[:4] != _FRMS_MAGIC:
         raise ValueError("not an FRMS payload")
+    if len(data) < 8:
+        raise ValueError("truncated FRMS")
     (count,) = struct.unpack_from("<I", data, 4)
     pos, frames = 8, []
     for _ in range(count):
+        if pos + 12 > len(data):
+            raise ValueError("truncated FRMS")
         ts_ms, length = struct.unpack_from("<QI", data, pos)
         pos += 12
+        if pos + length > len(data):
+            raise ValueError("truncated FRMS")
         frames.append((ts_ms, data[pos : pos + length]))
         pos += length
     return frames

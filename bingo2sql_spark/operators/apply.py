@@ -942,12 +942,19 @@ class IcebergLiteTable:
                             stored_est += int(lin[bkey].get("rows") or 0)
                     if batch_counts is not None:
                         total_est = stored_est + batch_counts["rows"]
-                    elif self.election_min_rows > 0:
+                    elif (
+                        self.election_min_rows > 0
+                        and stored_est < self.election_min_rows
+                    ):
                         # floor configured but no free batch count (empty
                         # table / MOR delta append): one narrow
                         # column-pruned count decides the floor BEFORE
                         # any election work — cheaper than electing a
-                        # below-crossover batch by mistake
+                        # below-crossover batch by mistake. Skipped when
+                        # stored_est alone already meets the floor (the
+                        # floor can't fire — total_est only grows), so
+                        # the runtime fallback below is the single extra
+                        # job on that path instead of two.
                         total_est = stored_est + batch.count()
                     if (
                         total_est is not None

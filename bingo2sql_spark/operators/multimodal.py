@@ -48,6 +48,15 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 8
 
+#: everything the numpy/stdlib codecs can raise on malformed-but-sniffable
+#: payloads. media.py normalizes to ValueError, but the belt-and-braces
+#: tuple keeps one corrupt media row from ever failing a whole Spark task
+#: even if a codec edge slips a stdlib exception type through.
+import struct as _struct  # noqa: E402
+import wave as _wave  # noqa: E402
+
+_CODEC_ERRORS = (ValueError, _struct.error, _wave.Error, EOFError, IndexError)
+
 #: synth fixture knobs — tiny media so the fixture path stays cheap
 _SYNTH_RATE = 4000  # Hz; Nyquist 2 kHz covers every synth tone
 _SYNTH_AUDIO_CAP_MS = 1000
@@ -187,13 +196,21 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     "image/x-portable-pixmap",
                     "image/x-portable-graymap",
                 ):
-                    arr = M.resize_nearest(M.decode_image_np(data), width, height)
-                    payloads.append(M.encode_bmp(arr))
-                    metas.append(
-                        None
-                        if meta is None
-                        else {**meta, "mime": "image/bmp", "width": width, "height": height}
-                    )
+                    try:
+                        arr = M.resize_nearest(M.decode_image_np(data), width, height)
+                        payloads.append(M.encode_bmp(arr))
+                        metas.append(
+                            None
+                            if meta is None
+                            else {**meta, "mime": "image/bmp", "width": width, "height": height}
+                        )
+                    except _CODEC_ERRORS:
+                        # sniffed-but-malformed image: pass payload through
+                        # untouched, rewrite meta only (mixed-corpora promise)
+                        payloads.append(payload)
+                        metas.append(
+                            None if meta is None else {**meta, "width": width, "height": height}
+                        )
                 else:
                     payloads.append(payload)
                     metas.append(
@@ -231,7 +248,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
                     rows["frame_idx"].append(i)
                     rows["ts_ms"].append(ts)
                     if is_frms:
-                        rows["frame_payload"].append(M.frame_at(b, ts))
+                        try:
+                            rows["frame_payload"].append(M.frame_at(b, ts))
+                        except _CODEC_ERRORS:
+                            # truncated/corrupt FRMS body: fall back to the
+                            # byte-slice stand-in like undecodable media
+                            rows["frame_payload"].append(b[i : i + 16] if b else None)
                     else:
                         rows["frame_payload"].append(b[i : i + 16] if b else None)
             yield pd.DataFrame(rows)
@@ -330,7 +352,7 @@ def extract_features(media: DataFrame, batch_limit: int = 10_000) -> DataFrame:
                 return _audio_features(data)
             if mime == "video/x-frms":
                 return _video_features(data)
-        except ValueError:
+        except _CODEC_ERRORS:
             pass  # sniffed but malformed -> byte stats, never a crash
         return _byte_features(data)
 

@@ -116,6 +116,91 @@ class TestCodecs:
             decode_audio(b"fLaC" + b"\x00" * 16)
 
 
+class TestMalformedMedia:
+    """ADVICE r6: malformed-but-sniffable payloads must degrade, never
+    crash a Spark task — media.py raises ValueError uniformly, and the
+    multimodal operators fall back (byte stats / pass-through / byte
+    slices) on corrupt rows."""
+
+    def _corrupt_payloads(self):
+        import struct
+
+        bmp = M.encode_bmp(_test_card(6, 8))[:40]  # sniffs BMP, truncated
+        wav = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"junkjunk"
+        frms_trunc = b"FRMS" + struct.pack("<I", 5)  # count 5, zero frames
+        frms_overrun = (
+            b"FRMS" + struct.pack("<I", 1) + struct.pack("<QI", 0, 9999) + b"xx"
+        )
+        return bmp, wav, frms_trunc, frms_overrun
+
+    def test_media_codecs_raise_valueerror_uniformly(self):
+        bmp, wav, frms_trunc, frms_overrun = self._corrupt_payloads()
+        with pytest.raises(ValueError):
+            M.decode_bmp(bmp)
+        with pytest.raises(ValueError):
+            M.decode_wav(wav)
+        with pytest.raises(ValueError, match="truncated FRMS"):
+            M.unpack_frames(frms_trunc)
+        # length field past EOF must be loud, never silently-short frames
+        with pytest.raises(ValueError, match="truncated FRMS"):
+            M.unpack_frames(frms_overrun)
+        with pytest.raises(ValueError, match="truncated FRMS"):
+            M.frame_at(frms_trunc, 0)
+
+    def test_corrupt_rows_never_fail_feature_stage(self, spark):
+        from bingo2sql_spark.operators.multimodal import (
+            FEATURE_DIM,
+            extract_features,
+        )
+
+        bmp, wav, frms_trunc, frms_overrun = self._corrupt_payloads()
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytearray(bmp)),
+                (2, "audio", bytearray(wav)),
+                (3, "video", bytearray(frms_trunc)),
+                (4, "video", bytearray(frms_overrun)),
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+        assert set(feats) == {1, 2, 3, 4}
+        for f in feats.values():
+            assert len(f) == FEATURE_DIM  # byte-stat fallback, no crash
+
+    def test_corrupt_frms_falls_back_to_byte_slices(self, spark):
+        from bingo2sql_spark.operators.multimodal import sample_frames
+
+        _, _, frms_trunc, frms_overrun = self._corrupt_payloads()
+        media = spark.createDataFrame(
+            [
+                (1, "video", bytearray(frms_trunc), {"mime": "video/x-frms", "width": 8, "height": 6, "duration_ms": 200}),
+                (2, "video", bytearray(frms_overrun), {"mime": "video/x-frms", "width": 8, "height": 6, "duration_ms": 200}),
+            ],
+            "media_id long, kind string, payload binary, "
+            "meta struct<mime string, width int, height int, duration_ms long>",
+        )
+        rows = sample_frames(media, every_ms=50, max_frames=4).collect()
+        assert len(rows) == 8  # fan-out shape intact despite corrupt bodies
+        for r in rows:
+            src = frms_trunc if r["media_id"] == 1 else frms_overrun
+            i = r["frame_idx"]
+            assert bytes(r["frame_payload"]) == src[i : i + 16]
+
+    def test_corrupt_image_passes_through_resize(self, spark):
+        from bingo2sql_spark.operators.multimodal import resize_images
+
+        bmp, _, _, _ = self._corrupt_payloads()
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(bmp), {"mime": "image/bmp", "width": 8, "height": 6, "duration_ms": 0})],
+            "media_id long, kind string, payload binary, "
+            "meta struct<mime string, width int, height int, duration_ms long>",
+        )
+        (row,) = resize_images(media, 16, 12).collect()
+        assert bytes(row["payload"]) == bmp  # untouched
+        assert row["meta"]["width"] == 16 and row["meta"]["height"] == 12
+
+
 class TestMultimodalOps:
     def _media(self, spark, n=12):
         from bingo2sql_spark.operators.multimodal import synth_media
