@@ -25,6 +25,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bingo2sql_spark.session import get_spark  # noqa: E402
 
 
+#: window-control state (VERDICT r6 #1): BENCH_r06.json shipped from a
+#: measurement window the sf1.0 data proved was polluted (two queries
+#: read FASTER at 10x the rows). The control below makes bench.py
+#: self-defending: a fixed CPU+shuffle job (~0.5 s on a quiet box) runs
+#: interleaved with every timed sample; identical work every call means
+#: any reading far above the run's best says the BOX was slow, not the
+#: engine — the sample is rejected and rerun.
+_CONTROL: dict = {"best": None, "readings": [], "rejected": 0}
+_CONTROL_TOL = 1.5
+
+
+def control_secs(spark) -> float:
+    """The fixed control job: pure CPU + one small shuffle, no disk, no
+    data dependence — the same work every invocation."""
+    t0 = time.time()
+    (
+        spark.range(0, 20_000_000, 1, 8)
+        .selectExpr("id % 512 AS k", "id")
+        .groupBy("k")
+        .agg({"id": "sum"})
+        .agg({"sum(id)": "sum"})
+        .collect()
+    )
+    return time.time() - t0
+
+
+def _window_ok(spark) -> bool:
+    """Run the control; True when the current window reads within
+    _CONTROL_TOL of the run's best control. Records every reading."""
+    c = control_secs(spark)
+    _CONTROL["readings"].append(round(c, 3))
+    if _CONTROL["best"] is None or c < _CONTROL["best"]:
+        _CONTROL["best"] = c
+    ok = c <= _CONTROL_TOL * _CONTROL["best"]
+    if not ok:
+        _CONTROL["rejected"] += 1
+    return ok
+
+
+def _guarded_min(spark, run, n_clean: int, max_tries: int) -> float:
+    """min over n_clean samples whose POST-sample control reading is
+    clean; polluted-window samples are discarded and rerun (bounded by
+    max_tries — if the box never quiets down, the best observed sample
+    is still returned and the rejection count says why)."""
+    vals: list[float] = []
+    everything: list[float] = []
+    tries = 0
+    while len(vals) < n_clean and tries < max_tries:
+        v = run()
+        everything.append(v)
+        tries += 1
+        if _window_ok(spark):
+            vals.append(v)
+    return min(vals) if vals else min(everything)
+
+
 def headline_replay(spark, n_events: int) -> dict:
     """Raw wire events -> decode -> filters -> LWW -> Iceberg-lite MERGE,
     timed end to end (raw events landed to parquet first so generation
@@ -73,10 +129,21 @@ def headline_replay(spark, n_events: int) -> dict:
         # protocol at sf<=0.1), above it the key-only election's byte cut
         # pays even on tmpfs (1.6x at 8 cores at 32M; BENCH/BASELINE.md
         # round-6)
-        secs = min(RS.run_one(cpus, src_typed, n_events, "typed", "auto")
-                   for _ in range(4))
-        json_secs = min(RS.run_one(cpus, src_json, n_events, "json", "auto")
-                        for _ in range(2))
+        # window-guarded (VERDICT r6 #1): each fresh-JVM sample only
+        # counts when the control job run right after it reads clean;
+        # the control runs BETWEEN samples (the parent session is idle
+        # while the pinned child runs, so control never contaminates a
+        # sample). JSON alongside typed in the same guarded run = the
+        # interleaved A/B of VERDICT r6 #8.
+        control_secs(spark)  # codegen warmup: the first control run is
+        # ~8x the steady state and must not poison the readings
+        _window_ok(spark)  # seed the run's best-control reading
+        secs = _guarded_min(
+            spark, lambda: RS.run_one(cpus, src_typed, n_events, "typed", "auto"), 4, 7
+        )
+        json_secs = _guarded_min(
+            spark, lambda: RS.run_one(cpus, src_json, n_events, "json", "auto"), 2, 4
+        )
 
         # forward replay only needs merge keys from the before image:
         # typed -> nested-schema pruning skips the before payload bytes
@@ -159,6 +226,14 @@ def main() -> None:
             one = time.time() - t0
             best = one if best is None else min(best, one)
         qtimes[name] = round(best, 3)
+        # window guard: a polluted window during this query's samples ->
+        # discard and re-time once (bounded; the control reading decides)
+        if not _window_ok(spark):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            redo = time.time() - t0
+            if _window_ok(spark):
+                qtimes[name] = round(min(best, redo), 3)
 
     out = {
         "metric": "cdc_replay_wall_seconds",
@@ -169,12 +244,20 @@ def main() -> None:
         **head,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "timing": "headline_fresh_pinned_jvm_min_of_4",
+        # window-control record (VERDICT r6 #1): best/max fixed-control
+        # reading and how many polluted windows were rejected+rerun —
+        # the artifact now carries the evidence of its own validity
+        "control_best": round(_CONTROL["best"], 3) if _CONTROL["best"] else None,
+        "control_max": round(max(_CONTROL["readings"]), 3) if _CONTROL["readings"] else None,
+        "window_rejects": _CONTROL["rejected"],
+        "json_vs_typed_ratio": round(head["replay_json_secs"] / head["replay_secs"], 2),
     }
     # full results (incl. per-query deltas vs the previous round) go to a
     # FILE; the stdout line must stay under the driver's 2000-char tail
     # capture or BENCH_r{N}.json records parsed=null (the r02 failure
     # mode: delta_vs_prev pushed the line past the budget).
     full = dict(out)
+    full["control_readings"] = _CONTROL["readings"]
     prev = _prev_round_queries()
     if prev:
         full["delta_vs_prev"] = {
@@ -190,6 +273,7 @@ def main() -> None:
     if len(line) > 1900:  # stay inside the tail budget, queries are the must-keep
         for drop in (
             "full_results", "timing", "final_rows", "cpus",
+            "json_vs_typed_ratio", "control_max",
             # derivable from the *_secs fields, which stay
             "json_events_per_sec", "incremental_events_per_sec",
             "incremental_mor_events_per_sec",

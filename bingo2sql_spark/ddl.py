@@ -263,9 +263,12 @@ def _parse_column(item: str) -> ColumnMeta | None:
     if not m:
         return None
     name = _ident(m, "c")
+    type_base = m.group("type").lower()
+    type_args = ""
     rest = item[m.end() :]
     # strip the type's parenthesized args so enum('a','b') values or
-    # DECIMAL(10,2) digits never look like options
+    # DECIMAL(10,2) digits never look like options — but keep them as
+    # the declared-type text (drives MODIFY/CHANGE narrowing checks)
     rest_stripped = rest.lstrip()
     if rest_stripped.startswith("("):
         depth = 0
@@ -273,6 +276,7 @@ def _parse_column(item: str) -> ColumnMeta | None:
             depth += ch == "("
             depth -= ch == ")"
             if depth == 0:
+                type_args = rest_stripped[: i + 1]
                 rest = rest_stripped[i + 1 :]
                 break
     # blank EVERY string literal (COMMENT, DEFAULT, CHECK, …) before
@@ -286,6 +290,7 @@ def _parse_column(item: str) -> ColumnMeta | None:
         unsigned=" UNSIGNED " in up,
         generated=generated,
         unique=bool(re.search(r"\bUNIQUE(?:\s+KEY)?\b", up)),
+        ctype=(type_base + re.sub(r"\s+", "", type_args)) or None,
     )
 
 
@@ -354,6 +359,7 @@ def parse_create_table(stmt: str, default_db: str = "") -> TableMeta | None:
             unsigned=c.unsigned,
             generated=c.generated,
             unique=c.unique or c.name in uniq_cols,
+            ctype=c.ctype,
         )
         for c in cols
     ]
@@ -417,23 +423,126 @@ _DROP_COL_RE = re.compile(
     + r"\s*$",
     re.IGNORECASE,
 )
+_CHANGE_COL_RE = re.compile(
+    r"^CHANGE\s+(?:COLUMN\s+)?" + _IDENT.format(tag="e") + r"\s+(?P<def>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MODIFY_COL_RE = re.compile(
+    r"^MODIFY\s+(?:COLUMN\s+)?(?P<def>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+# -- declared-type change validation (ALTER MODIFY / CHANGE) ----------------
+
+#: same-family widening ranks (MySQL integer/text ladders)
+_INT_RANK = {"tinyint": 1, "smallint": 2, "mediumint": 3, "int": 4, "integer": 4, "bigint": 5}
+#: max DECIMAL digits an int of each rank needs (bigint unsigned: 20)
+_INT_DIGITS = {1: 3, 2: 5, 3: 8, 4: 10, 5: 20}
+#: text-family byte capacities; char/varchar capacity is the declared length
+_TEXT_CAP = {"tinytext": 255, "text": 65_535, "mediumtext": 16_777_215, "longtext": 4_294_967_295}
+_FLOAT_SAFE_DIGITS = {"float": 7, "double": 15, "real": 15}
+
+
+def _type_parts(ctype: str) -> tuple[str, list[int]]:
+    m = re.match(r"([a-z]+)(?:\(([\d,\s]*)\))?", ctype.strip().lower())
+    if not m:
+        return ctype.strip().lower(), []
+    args = [int(a) for a in (m.group(2) or "").replace(" ", "").split(",") if a]
+    return m.group(1), args
+
+
+def _string_capacity(base: str, args: list[int]) -> int | None:
+    if base in ("char", "varchar", "binary", "varbinary"):
+        return args[0] if args else 1
+    return _TEXT_CAP.get(base)
+
+
+def check_type_change(old: str | None, new: str | None, column: str) -> None:
+    """Loud ValueError when an ALTER MODIFY/CHANGE declares a LOSSY
+    narrowing (the data-destroying class MySQL itself only allows with
+    truncation warnings): smaller same-family rank (bigint -> int,
+    text -> tinytext), shorter char/varchar, DECIMAL losing integer or
+    fraction digits, string -> numeric, or an int family too wide for
+    the target float/decimal mantissa. Widening and unknown/exotic
+    pairs pass — the engine stores values as text, so only *declared*
+    loss is policed (the reference re-resolves types wholesale from the
+    server, core/parser.go:1624-1689; local mode must self-check)."""
+    if not old or not new:
+        return
+    ob, oa = _type_parts(old)
+    nb, na = _type_parts(new)
+    if (ob, oa) == (nb, na):
+        return
+
+    def lossy(reason: str) -> None:
+        raise ValueError(
+            f"ALTER column {column!r}: lossy type narrowing {old!r} -> {new!r} "
+            f"({reason}) — narrowing destroys stored values; widen instead or "
+            "rebuild the table explicitly"
+        )
+
+    o_int, n_int = _INT_RANK.get(ob), _INT_RANK.get(nb)
+    o_cap, n_cap = _string_capacity(ob, oa), _string_capacity(nb, na)
+    if o_int and n_int and n_int < o_int:
+        lossy("smaller integer type")
+    if o_cap is not None and n_cap is not None and n_cap < o_cap:
+        lossy(f"capacity {o_cap} -> {n_cap}")
+    if o_cap is not None and (n_int or nb in ("decimal", "numeric", *_FLOAT_SAFE_DIGITS)):
+        lossy("string to numeric")
+    if ob in ("decimal", "numeric"):
+        op, os_ = (oa + [10, 0])[0], (oa + [10, 0])[1] if len(oa) > 1 else 0
+        if nb in ("decimal", "numeric"):
+            np_, ns = (na + [10, 0])[0], (na + [10, 0])[1] if len(na) > 1 else 0
+            if np_ - ns < op - os_ or ns < os_:
+                lossy("fewer integer or fraction digits")
+        elif n_int:
+            if os_ > 0 or op - os_ > _INT_DIGITS[n_int]:
+                lossy("decimal to integer")
+    if o_int and nb in ("decimal", "numeric"):
+        np_, ns = (na + [10, 0])[0], (na + [10, 0])[1] if len(na) > 1 else 0
+        if np_ - ns < _INT_DIGITS[o_int]:
+            lossy("decimal too narrow for the integer range")
+    if o_int and nb in _FLOAT_SAFE_DIGITS and _INT_DIGITS[o_int] > _FLOAT_SAFE_DIGITS[nb]:
+        lossy("integer exceeds the float mantissa")
+    if ob == "double" and nb == "float":
+        lossy("double to float")
+
+
+def _strip_position_clause(coldef: str) -> str:
+    """Strip a trailing FIRST / AFTER <col> position clause — this
+    engine's tables are columnar, position is cosmetic."""
+    return re.sub(
+        r"\s+(?:FIRST|AFTER\s+(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*))\s*$",
+        "",
+        coldef,
+        flags=re.IGNORECASE,
+    ).strip()
 
 
 def parse_alter_table(
     stmt: str, default_db: str = ""
 ) -> tuple[str, str, list[tuple[str, object]]] | None:
     """One ALTER TABLE statement -> (db, table, actions); None if the
-    statement is not an ALTER TABLE. Actions are ("add", ColumnMeta) /
-    ("drop", column_name) in statement order — the MySQL forms the
-    binlog's Query events actually carry for schema evolution (the
-    reference detects the DDL and re-fetches the schema,
-    checkCanParse core/parser.go:1242-1253; this engine applies the
-    delta itself). Other alter specifications (COMMENT, ENGINE,
-    indexes, partitioning, MODIFY of display attrs) yield no actions —
-    a no-op for column evolution, matching how the reference only
-    cares that columns changed. The ADD column definition reuses the
-    CREATE TABLE column parser (UNSIGNED / generated / key options
-    respected; string literals blanked before keyword scanning)."""
+    statement is not an ALTER TABLE. Actions, in statement order:
+
+    - ("add", ColumnMeta)
+    - ("drop", column_name)
+    - ("change", (old_name, ColumnMeta))  — CHANGE old new TYPE: a
+      rename (plus optional type change). Stored values carry to the
+      new name; the reference covers this by re-resolving the whole
+      schema on any DDL (checkCanParse core/parser.go:1242-1253 +
+      tableInformation core/parser.go:1624-1689).
+    - ("modify", ColumnMeta) — MODIFY col TYPE: same name, new
+      declared type/options. apply_alter validates the type change
+      (loud on lossy narrowing, see check_type_change).
+
+    Other alter specifications (COMMENT, ENGINE, indexes,
+    partitioning) yield no actions — a no-op for column evolution.
+    Column definitions reuse the CREATE TABLE column parser (UNSIGNED /
+    generated / key options respected; string literals blanked before
+    keyword scanning); trailing FIRST/AFTER position clauses are
+    cosmetic here and stripped."""
     m = _ALTER_RE.match(stmt)
     if not m:
         return None
@@ -446,21 +555,25 @@ def parse_alter_table(
             continue
         add = _ADD_COL_RE.match(item)
         if add:
-            # strip a trailing FIRST / AFTER <col> position clause —
-            # this engine's tables are columnar, position is cosmetic
-            coldef = re.sub(
-                r"\s+(?:FIRST|AFTER\s+(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*))\s*$",
-                "",
-                add.group("def"),
-                flags=re.IGNORECASE,
-            )
-            col = _parse_column(coldef.strip())
+            col = _parse_column(_strip_position_clause(add.group("def")))
             if col is not None:
                 actions.append(("add", col))
             continue
         drop = _DROP_COL_RE.match(item)
         if drop:
             actions.append(("drop", _ident(drop, "d")))
+            continue
+        change = _CHANGE_COL_RE.match(item)
+        if change:
+            col = _parse_column(_strip_position_clause(change.group("def").strip()))
+            if col is not None:
+                actions.append(("change", (_ident(change, "e"), col)))
+            continue
+        modify = _MODIFY_COL_RE.match(item)
+        if modify:
+            col = _parse_column(_strip_position_clause(modify.group("def").strip()))
+            if col is not None:
+                actions.append(("modify", col))
             continue
         # COMMENT/ENGINE/index/partition alterations: no column delta
     return (db, table, actions)
@@ -471,10 +584,23 @@ def apply_alter(meta: TableMeta, actions: list[tuple[str, object]]) -> TableMeta
     a duplicate name — silently merging two definitions would corrupt
     rendering), DROP removes (loud on a missing name — the stream and
     the registry disagree about the schema, the drift the reference's
-    checkCanParse refuses to parse through). Returns a NEW TableMeta
-    with schema_ver bumped."""
+    checkCanParse refuses to parse through), CHANGE renames in place
+    (loud on a missing source or a colliding target; declared type
+    checked for lossy narrowing), MODIFY replaces the definition in
+    place (same narrowing check). Returns a NEW TableMeta with
+    schema_ver bumped."""
     cols = list(meta.columns)
     names = {c.name.lower() for c in cols}
+
+    def _find(name: str, verb: str) -> int:
+        for i, c in enumerate(cols):
+            if c.name.lower() == name.lower():
+                return i
+        raise ValueError(
+            f"ALTER {verb} {name!r}: no such column on "
+            f"{meta.db}.{meta.table} — registry and stream disagree"
+        )
+
     for kind, payload in actions:
         if kind == "add":
             if payload.name.lower() in names:
@@ -484,7 +610,7 @@ def apply_alter(meta: TableMeta, actions: list[tuple[str, object]]) -> TableMeta
                 )
             cols.append(payload)
             names.add(payload.name.lower())
-        else:
+        elif kind == "drop":
             if payload.lower() not in names:
                 raise ValueError(
                     f"ALTER DROP COLUMN {payload!r}: no such column on "
@@ -492,6 +618,27 @@ def apply_alter(meta: TableMeta, actions: list[tuple[str, object]]) -> TableMeta
                 )
             cols = [c for c in cols if c.name.lower() != payload.lower()]
             names.discard(payload.lower())
+        elif kind == "change":
+            old_name, new_col = payload
+            i = _find(old_name, "CHANGE COLUMN")
+            if (
+                new_col.name.lower() != old_name.lower()
+                and new_col.name.lower() in names
+            ):
+                raise ValueError(
+                    f"ALTER CHANGE COLUMN {old_name!r} -> {new_col.name!r}: "
+                    f"target name already exists on {meta.db}.{meta.table}"
+                )
+            check_type_change(cols[i].ctype, new_col.ctype, old_name)
+            names.discard(old_name.lower())
+            names.add(new_col.name.lower())
+            cols[i] = new_col
+        elif kind == "modify":
+            i = _find(payload.name, "MODIFY COLUMN")
+            check_type_change(cols[i].ctype, payload.ctype, payload.name)
+            cols[i] = payload
+        else:  # pragma: no cover - parse_alter_table emits only the above
+            raise ValueError(f"unknown ALTER action {kind!r}")
     return TableMeta(
         db=meta.db, table=meta.table, schema_ver=meta.schema_ver + 1, columns=cols
     )

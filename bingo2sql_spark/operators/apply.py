@@ -87,6 +87,36 @@ INTERNAL_COLS = ("_ingest_seq", "_deleted", "_log_file", "_log_pos", "bucket")
 INTERNAL_NO_BUCKET = tuple(c for c in INTERNAL_COLS if c != "bucket")
 
 
+def _name_translate(expr, mapping: dict[str, str]):
+    """when-chain over a string expression translating old column names
+    to new (rename support for per-column attribution metadata)."""
+    out = None
+    for old, new in mapping.items():
+        cond = expr == F.lit(old)
+        out = F.when(cond, F.lit(new)) if out is None else out.when(cond, F.lit(new))
+    return expr if out is None else out.otherwise(expr)
+
+
+def _translate_partial_meta(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """After a column rename, per-column attribution metadata written
+    under the OLD name must read as the new one: `_col_seqs` map keys
+    and `_changed_cols` entries are rewritten in place (pure expression,
+    no shuffle)."""
+    if not mapping:
+        return df
+    if "_col_seqs" in df.columns:
+        df = df.withColumn(
+            "_col_seqs",
+            F.transform_keys("_col_seqs", lambda k, _v: _name_translate(k, mapping)),
+        )
+    if "_changed_cols" in df.columns:
+        df = df.withColumn(
+            "_changed_cols",
+            F.transform("_changed_cols", lambda x: _name_translate(x, mapping)),
+        )
+    return df
+
+
 def _merge_batch(
     current: DataFrame,
     batch_rows: DataFrame,
@@ -547,13 +577,35 @@ class IcebergLiteTable:
         partial_deltas = has_deltas and bool(m.get("partial_deltas"))
         partial_state = bool(m.get("partial_state"))
         partial_any = partial_deltas or partial_state
+        # column-rename support (Iceberg name-mapping analog, no field
+        # IDs needed because old and new names never coexist live): the
+        # manifest's `aliases` maps each current column to the names it
+        # had in data files written BEFORE its rename(s). Those files
+        # are scanned WITH the old names in the declared schema (each
+        # file NULL-fills whichever spelling it lacks), then per row the
+        # single non-NULL spelling coalesces into the current name — a
+        # pure projection, so a 100 TB table renames a column without
+        # rewriting a byte.
+        aliases = {
+            c: [o for o in olds]
+            for c, olds in (m.get("aliases") or {}).items()
+            if c in cols
+        }
+        alias_olds = [o for olds in aliases.values() for o in olds]
         df = spark.read.schema(
             self._state_schema(
-                cols,
+                cols + alias_olds,
                 with_changed=has_deltas and partial_any,
                 with_col_seqs=partial_any,
             )
         ).parquet(*paths)
+        if alias_olds:
+            for c, olds in aliases.items():
+                df = df.withColumn(c, F.coalesce(F.col(c), *[F.col(o) for o in olds]))
+            df = df.drop(*alias_olds)
+            df = _translate_partial_meta(
+                df, {o: c for c, olds in aliases.items() for o in olds}
+            )
         if has_deltas and partial_any:
             # MINIMAL-image path: per-COLUMN read-time merge — delta
             # rows carry only their changed columns (`_changed_cols`)
@@ -701,6 +753,7 @@ class IcebergLiteTable:
         batch_id: str,
         rebase_past_head: bool = False,
         drop_columns: list[str] | None = None,
+        rename_columns: dict[str, str] | None = None,
     ) -> dict[str, Any]:
         """Idempotent, convergent MERGE of one micro-batch.
 
@@ -759,7 +812,44 @@ class IcebergLiteTable:
             )
 
         payload_cols = [c for c in batch.columns if not c.startswith("_")]
-        all_cols = list(dict.fromkeys(m["columns"] + payload_cols))  # schema evolution: union
+        stored_cols = list(m["columns"])
+        aliases = {c: list(v) for c, v in (m.get("aliases") or {}).items()}
+        if rename_columns:
+            # DDL-driven CHANGE COLUMN (VERDICT r6 #2): stored values
+            # carry to the new name WITHOUT rewriting untouched buckets —
+            # the manifest records the old spelling(s) per current column
+            # and _read_raw coalesces them at scan time (time travel to
+            # older snapshots keeps the old name via that snapshot's own
+            # manifest). Merge keys are the table's identity: renaming
+            # one would silently re-key every stored row, so it's loud.
+            for old, new in rename_columns.items():
+                if old.lower() in {k.lower() for k in S.MERGE_KEYS}:
+                    raise ValueError(f"cannot rename merge key column {old!r}")
+                if old not in stored_cols:
+                    raise ValueError(
+                        f"rename {old!r} -> {new!r}: no such stored column "
+                        f"(table has {stored_cols})"
+                    )
+                aliases[new] = [old] + aliases.pop(old, [])
+            stored_cols = [rename_columns.get(c, c) for c in stored_cols]
+            if len(set(stored_cols)) != len(stored_cols):
+                raise ValueError(
+                    f"rename collision: {rename_columns} maps two stored "
+                    "columns to one name"
+                )
+        all_cols = list(dict.fromkeys(stored_cols + payload_cols))  # schema evolution: union
+        alias_names = {o for olds in aliases.values() for o in olds}
+        resurrected = sorted(set(all_cols) & alias_names)
+        if resurrected:
+            # a renamed-away spelling still lives in pre-rename data
+            # files; re-adding it as a NEW column would resurrect those
+            # values through the alias coalesce. compact() rewrites every
+            # bucket under current names and clears the aliases.
+            raise ValueError(
+                f"column name(s) {resurrected} were renamed away and still "
+                "exist in pre-rename data files — compact() the table first, "
+                "then re-add"
+            )
         if drop_columns:
             # DDL-driven DROP COLUMN (VERDICT r5 #4): the column leaves
             # the CURRENT schema — rewritten buckets omit it physically,
@@ -860,6 +950,14 @@ class IcebergLiteTable:
                 current = self._empty_state(spark, all_cols)
             else:
                 current = self._read_raw(spark, buckets=affected)
+                if rename_columns:
+                    # stored rows read under the pre-rename manifest:
+                    # carry values (and per-column attributions) to the
+                    # new names before the merge union
+                    for old, new in rename_columns.items():
+                        if old in current.columns:
+                            current = current.withColumnRenamed(old, new)
+                    current = _translate_partial_meta(current, rename_columns)
             for c in all_cols:
                 if c not in current.columns:
                     current = current.withColumn(c, F.lit(None).cast("string"))
@@ -1080,6 +1178,7 @@ class IcebergLiteTable:
                 "committed_batches": batches,
                 "batch_watermarks": watermarks,
                 "columns": all_cols,
+                "aliases": aliases,
                 "lineage": lineage,
                 "bucket_rows": bucket_rows,
                 # version -> unique data dir (see the write above); the
@@ -1296,6 +1395,11 @@ class IcebergLiteTable:
                 "snap_dirs": {**m.get("snap_dirs", {}), str(new_version): snap_name},
                 "buckets": buckets_map,
                 "deltas": {},
+                # every bucket was rewritten under the CURRENT column
+                # names, so pre-rename spellings no longer exist in any
+                # live data file — the alias map resets (and renamed-away
+                # names become re-addable)
+                "aliases": {},
                 # folded deltas are base rows now: read amplification
                 # resets to zero
                 "bucket_rows": {

@@ -648,10 +648,18 @@ class SignatureStore:
       banding is a projection of the signature columns).
     - family="simhash": one n_bits 0/1-string column `simhash`; the 4
       banded probe tables (simhash_pairs_banded) are substring
-      projections of it, rebuilt on read.
+      projections of it.
     - family="embedding": one unit-L2 `embedding` array<double> from
       the deterministic feature-hash embedding; cosine_near_dup_pairs
       / SRP buckets consume it directly.
+
+    Band/SRP probe tables are CACHED beside the signature snapshot
+    (VERDICT r6 #4): `probes()` builds the family's banded projection
+    once per store version, persists it as `probes-<version>/` parquet,
+    and every later call on the hot serving path reads the parquet
+    instead of re-projecting — refresh() invalidates by construction
+    (new version, new dir) and expire() reclaims old probe dirs with
+    their snapshots.
 
     Layout: `<path>/snap-<table_version>/` parquet + `state.json`
     pointing at the signature snapshot and the table version it
@@ -681,6 +689,8 @@ class SignatureStore:
         family: str = "minhash",
         n_bits: int = 64,
         dim: int = 16,
+        bands: int = 4,
+        n_planes: int = 8,
     ):
         if family not in ("minhash", "simhash", "embedding"):
             raise ValueError(
@@ -694,6 +704,10 @@ class SignatureStore:
         self.family = family
         self.n_bits = n_bits
         self.dim = dim
+        #: probe-table shape, fixed at construction so the persisted
+        #: probes-<version>/ cache is well-defined per store
+        self.bands = bands
+        self.n_planes = n_planes
         #: prior snapshots retained across refresh() for in-flight readers
         self.keep_snapshots = keep_snapshots
         os.makedirs(path, exist_ok=True)
@@ -745,6 +759,83 @@ class SignatureStore:
         if st is None:
             raise ValueError(f"signature store at {self.path} has no snapshot yet")
         return spark.read.parquet(os.path.join(self.path, f"snap-{st['version']:012d}"))
+
+    def _build_probes(self, sigs: DataFrame) -> DataFrame:
+        """Family-specific banded probe projection of the signature
+        table — (key_cols..., band, probe):
+
+        - minhash: LSH band digests (minhash_candidate_pairs' banding,
+          md5 over each band's rows_per_band signature columns)
+        - simhash: Manku band substrings (simhash_pairs_banded's 4x16
+          split at the defaults)
+        - embedding: the SRP sign-bucket code per hyperplane table
+          (lsh_topk's multi-table probes; band = table index)
+        """
+        if self.family == "minhash":
+            if self.k % self.bands:
+                raise ValueError(f"bands={self.bands} must divide k={self.k}")
+            rpb = self.k // self.bands
+            structs = [
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
+                        )
+                    ).alias("probe"),
+                )
+                for b in range(self.bands)
+            ]
+        elif self.family == "simhash":
+            if self.n_bits % self.bands:
+                raise ValueError(
+                    f"bands={self.bands} must divide n_bits={self.n_bits}"
+                )
+            w = self.n_bits // self.bands
+            structs = [
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("simhash", b * w + 1, w).alias("probe"),
+                )
+                for b in range(self.bands)
+            ]
+        else:
+            from bingo2sql_spark.operators.similarity import with_srp_bucket_arrow
+
+            out = sigs
+            for t in range(self.bands):
+                out = with_srp_bucket_arrow(
+                    out, "embedding", self.n_planes, self.dim, plane_offset=t * self.n_planes
+                ).withColumnRenamed("_bucket", f"_b{t}")
+            structs = [
+                F.struct(F.lit(t).alias("band"), F.col(f"_b{t}").alias("probe"))
+                for t in range(self.bands)
+            ]
+            return out.select(
+                *self.key_cols, F.explode(F.array(*structs)).alias("_bd")
+            ).select(*self.key_cols, "_bd.band", "_bd.probe")
+        return sigs.select(
+            *self.key_cols, F.explode(F.array(*structs)).alias("_bd")
+        ).select(*self.key_cols, "_bd.band", "_bd.probe")
+
+    def probes(self, spark) -> DataFrame:
+        """The CURRENT version's banded probe table, persisted beside
+        the signature snapshot on first call (VERDICT r6 #4). The hot
+        serving path — every candidate-pair / LSH-probe query between
+        refreshes — reads the parquet instead of re-projecting the
+        signature table; a new version invalidates by construction
+        (probes-<version>/ is version-keyed)."""
+        st = self._state()
+        if st is None:
+            raise ValueError(f"signature store at {self.path} has no snapshot yet")
+        ver = int(st["version"])
+        d = os.path.join(self.path, f"probes-{ver:012d}")
+        if not os.path.isdir(d):
+            # deterministic projection of an immutable snapshot: a
+            # concurrent double-build writes identical rows, and
+            # mode=overwrite keeps the loser harmless
+            self._build_probes(self.read(spark)).write.mode("overwrite").parquet(d)
+        return spark.read.parquet(d)
 
     def version(self) -> int | None:
         st = self._state()
@@ -805,6 +896,11 @@ class SignatureStore:
             if d == current:
                 continue  # never delete the pointed-at snapshot
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            # the snapshot's cached probe table expires with it
+            shutil.rmtree(
+                os.path.join(self.path, d.replace("snap-", "probes-")),
+                ignore_errors=True,
+            )
             removed.append(d)
         return removed
 

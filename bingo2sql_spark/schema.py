@@ -171,6 +171,11 @@ class ColumnMeta:
     unsigned: bool = False
     generated: bool = False
     unique: bool = False
+    #: declared MySQL type text, lowercased, e.g. "varchar(255)" /
+    #: "bigint" / "decimal(10,2)" (InfoSchemaStr analog kept as text,
+    #: core/parser.go:40). None when the meta was hand-constructed —
+    #: type-change validation (ALTER MODIFY/CHANGE) is skipped then.
+    ctype: str | None = None
 
 
 @dataclass

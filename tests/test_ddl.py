@@ -364,3 +364,91 @@ def test_apply_alter_and_evolve_registry():
     assert "u" in reg3
     reg4 = evolve_registry(reg3, "DROP TABLE test.t")
     assert lookup(reg4, "test", "t") is None and "u" in reg4
+
+
+def test_parse_change_and_modify_column():
+    """VERDICT r6 #2: CHANGE old new TYPE parses as a rename action
+    (full new definition), MODIFY col TYPE as an in-place definition
+    swap; FIRST/AFTER position clauses are cosmetic and stripped; the
+    declared type text is captured for narrowing validation."""
+    from bingo2sql_spark.ddl import parse_alter_table, parse_schema_text
+
+    meta = parse_schema_text(
+        "CREATE TABLE t (id bigint unsigned primary key, name varchar(20))"
+    )["t"]
+    assert [c.ctype for c in meta.columns] == ["bigint", "varchar(20)"]
+
+    _, _, acts = parse_alter_table(
+        "ALTER TABLE t CHANGE COLUMN `name` `full_name` VARCHAR(40) AFTER id, "
+        "MODIFY COLUMN id BIGINT UNSIGNED FIRST"
+    )
+    assert acts[0][0] == "change"
+    old, col = acts[0][1]
+    assert old == "name" and col.name == "full_name" and col.ctype == "varchar(40)"
+    assert acts[1][0] == "modify"
+    assert acts[1][1].name == "id" and acts[1][1].unsigned
+    # bare (no COLUMN keyword) forms
+    _, _, a2 = parse_alter_table("ALTER TABLE t CHANGE name nm text")
+    assert a2 == [("change", ("name", a2[0][1][1]))] and a2[0][1][1].ctype == "text"
+
+
+def test_apply_alter_change_rename_semantics():
+    from bingo2sql_spark.ddl import apply_alter, parse_alter_table, parse_schema_text
+
+    meta = parse_schema_text(
+        "CREATE TABLE t (id int primary key, a varchar(10), b varchar(10))"
+    )["t"]
+    _, _, acts = parse_alter_table("ALTER TABLE t CHANGE a a2 varchar(20)")
+    m2 = apply_alter(meta, acts)
+    # rename in place: position preserved, new definition adopted
+    assert [c.name for c in m2.columns] == ["id", "a2", "b"]
+    assert m2.columns[1].ctype == "varchar(20)"
+    assert m2.schema_ver == meta.schema_ver + 1
+    import pytest as _p
+    with _p.raises(ValueError, match="no such column"):
+        apply_alter(meta, parse_alter_table("ALTER TABLE t CHANGE zzz z2 int")[2])
+    with _p.raises(ValueError, match="already exists"):
+        apply_alter(meta, parse_alter_table("ALTER TABLE t CHANGE a b varchar(10)")[2])
+    # same-name CHANGE (type-only via CHANGE syntax) is legal MySQL
+    m3 = apply_alter(meta, parse_alter_table("ALTER TABLE t CHANGE a a varchar(99)")[2])
+    assert m3.columns[1].ctype == "varchar(99)"
+
+
+def test_modify_lossy_narrowing_is_loud():
+    """check_type_change: data-destroying declared-type changes raise;
+    widenings and unknown pairs pass (the engine stores text — only
+    DECLARED loss is policed)."""
+    import pytest as _p
+
+    from bingo2sql_spark.ddl import apply_alter, parse_alter_table, parse_schema_text
+
+    meta = parse_schema_text(
+        "CREATE TABLE t (id bigint primary key, name varchar(20), "
+        "score decimal(10,2), ratio double)"
+    )["t"]
+
+    def alter(stmt):
+        return apply_alter(meta, parse_alter_table(stmt)[2])
+
+    for stmt in [
+        "ALTER TABLE t MODIFY name varchar(10)",      # shorter
+        "ALTER TABLE t MODIFY id int",                # smaller int
+        "ALTER TABLE t MODIFY score decimal(8,2)",    # fewer digits
+        "ALTER TABLE t MODIFY score decimal(10,1)",   # fewer fraction digits
+        "ALTER TABLE t MODIFY name bigint",           # string -> numeric
+        "ALTER TABLE t MODIFY score int",             # drops fraction
+        "ALTER TABLE t MODIFY id float",              # int > mantissa
+        "ALTER TABLE t MODIFY ratio float",           # double -> float
+        "ALTER TABLE t CHANGE name nm varchar(5)",    # narrowing via CHANGE
+    ]:
+        with _p.raises(ValueError, match="lossy"):
+            alter(stmt)
+    for stmt in [
+        "ALTER TABLE t MODIFY name varchar(100)",
+        "ALTER TABLE t MODIFY name text",
+        "ALTER TABLE t MODIFY id decimal(20,0)",
+        "ALTER TABLE t MODIFY score decimal(14,4)",
+        "ALTER TABLE t MODIFY score double",
+        "ALTER TABLE t MODIFY id bigint",             # same type: no-op
+    ]:
+        alter(stmt)

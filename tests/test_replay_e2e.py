@@ -1389,3 +1389,286 @@ def test_dense_col_seqs_snapshot_decodes_like_sparse(spark, tmp_path):
     o = to._read_raw(spark).select(payload)
     assert a.exceptAll(o).count() == 0 and o.exceptAll(a).count() == 0
     mev.unpersist()
+
+
+def _evo_schema():
+    """Envelope + statement, with a wire payload that carries BOTH the
+    pre- and post-rename spellings (producers race DDL in real streams)."""
+    import pyspark.sql.types as T
+
+    payload = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    return T.StructType([
+        T.StructField("seq", T.LongType()),
+        T.StructField("log_file", T.StringType()),
+        T.StructField("log_pos", T.LongType()),
+        T.StructField("gtid_uuid", T.StringType()),
+        T.StructField("gno", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("thread_id", T.LongType()),
+        T.StructField("db", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("before", payload),
+        T.StructField("after", payload),
+        T.StructField("changed_cols", T.ArrayType(T.StringType())),
+        T.StructField("schema_ver", T.IntegerType()),
+        T.StructField("statement", T.StringType()),
+    ])
+
+
+def _evo_row(seq, op, key, commit=None, lang=None, language=None, content=None,
+             changed=None, stmt=None):
+    import datetime
+
+    after = None if op in ("delete", "ddl") else {
+        "repo": "r1", "path": key, "commit": commit, "lang": lang,
+        "language": language, "content": content,
+    }
+    before = None if op in ("insert", "ddl") else {
+        "repo": "r1", "path": key, "commit": "c0", "lang": "x",
+        "language": None, "content": "x",
+    }
+    return (seq, "bin.1", seq, None, None, datetime.datetime(2024, 1, 1), 1,
+            "test", "repo_files", op, before, after, changed, 1, stmt)
+
+
+def _evo_meta():
+    from bingo2sql_spark import ddl as DL
+
+    return DL.parse_schema_text(
+        "CREATE TABLE test.repo_files (repo varchar(64), path varchar(255), "
+        "commit varchar(40), lang varchar(16), content text, "
+        "PRIMARY KEY (repo, path))"
+    )["test.repo_files"]
+
+
+def test_change_column_rename_end_to_end(spark, tmp_path):
+    """VERDICT r6 #2: a mid-stream CHANGE lang language rename replays
+    to the same final state as an oracle applying the rename — stored
+    values carry to the new name WITHOUT rewriting untouched buckets
+    (manifest aliases; asserted below), wire values switch source field
+    at the ALTER's seq, and time travel still shows the old name."""
+    from bingo2sql_spark import ddl as DL
+
+    meta = _evo_meta()
+    keys = [f"f{i}" for i in range(8)]
+    events1 = spark.createDataFrame(
+        [_evo_row(i + 1, "insert", k, commit=f"c{i}", lang=f"L{i}", content=f"v{i}")
+         for i, k in enumerate(keys)],
+        _evo_schema(),
+    )
+    t = IcebergLiteTable(str(tmp_path / "ren"), n_buckets=4)
+    m1 = replay(events1, t, batch_id="r1", table_meta=meta, evolve_from_ddl=True)
+
+    events2 = spark.createDataFrame([
+        # pre-rename wire update: carries the OLD spelling
+        _evo_row(50, "update", "f0", commit="c50", lang="pre", content="v0b"),
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE `test`.`repo_files` CHANGE COLUMN `lang` "
+                      "`language` varchar(64)"),
+        # post-rename wire update: carries the NEW spelling only
+        _evo_row(101, "update", "f1", commit="c51", language="post", content="v1b"),
+    ], _evo_schema())
+    m2 = replay(events2, t, batch_id="r2", table_meta=meta, evolve_from_ddl=True)
+    assert m2["buckets_rewritten"] < t.n_buckets  # untouched buckets remain
+
+    cur = t.read(spark)
+    assert "language" in cur.columns and "lang" not in cur.columns
+    got = {r["path"]: (r["language"], r["content"]) for r in cur.collect()}
+    # oracle: dict replay with the rename applied at seq 100
+    expect = {k: (f"L{i}", f"v{i}") for i, k in enumerate(keys)}
+    expect["f0"] = ("pre", "v0b")    # old-spelling bytes before the ALTER
+    expect["f1"] = ("post", "v1b")   # new-spelling bytes after it
+    assert got == expect  # f2..f7 carried via alias coalesce, no rewrite
+
+    # time travel to the pre-rename snapshot keeps the old name
+    old = t.read(spark, version=m1["snapshot"])
+    assert "lang" in old.columns and "language" not in old.columns
+    assert {r["path"]: r["lang"] for r in old.collect()} == {
+        k: f"L{i}" for i, k in enumerate(keys)
+    }
+    # exactly-once unaffected
+    assert replay(events2, t, batch_id="r2", table_meta=meta,
+                  evolve_from_ddl=True)["skipped"]
+
+    # rename-aware registry agrees with the replay's end schema
+    evolved = DL.apply_alter(
+        meta, DL.parse_alter_table(
+            "ALTER TABLE test.repo_files CHANGE lang language varchar(64)")[2])
+    assert set(c.name for c in evolved.columns) == set(cur.columns) - {"bucket"}
+
+
+def test_change_column_rename_mor_read_path(spark, tmp_path):
+    """Rename over a MERGE-ON-READ table: the commit appends a delta
+    under the NEW name while base files keep the old; the read-time
+    alias coalesce reconciles both without any rewrite."""
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "renmor"), n_buckets=4, write_mode="mor")
+    events1 = spark.createDataFrame(
+        [_evo_row(i + 1, "insert", f"f{i}", commit=f"c{i}", lang=f"L{i}",
+                  content=f"v{i}") for i in range(6)],
+        _evo_schema(),
+    )
+    replay(events1, t, batch_id="m1", table_meta=meta, evolve_from_ddl=True)
+    events2 = spark.createDataFrame([
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files CHANGE lang language varchar(64)"),
+        _evo_row(101, "update", "f0", commit="c9", language="post", content="v0b"),
+    ], _evo_schema())
+    replay(events2, t, batch_id="m2", table_meta=meta, evolve_from_ddl=True)
+    got = {r["path"]: r["language"] for r in t.read(spark).collect()}
+    assert got == {"f0": "post", **{f"f{i}": f"L{i}" for i in range(1, 6)}}
+    # compaction folds everything under current names and clears aliases
+    t.compact(spark)
+    assert t.latest_manifest()["aliases"] == {}
+    got2 = {r["path"]: r["language"] for r in t.read(spark).collect()}
+    assert got2 == got
+
+
+def test_rename_loud_failures_and_resurrection_guard(spark, tmp_path):
+    """Lossy MODIFY in the stream is loud; re-ADDing a renamed-away
+    name is refused until compact() rewrites the old spellings away."""
+    import pytest as _p
+
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "renfail"), n_buckets=4)
+    events1 = spark.createDataFrame(
+        [_evo_row(i + 1, "insert", f"f{i}", commit=f"c{i}", lang=f"L{i}",
+                  content=f"v{i}") for i in range(4)],
+        _evo_schema(),
+    )
+    replay(events1, t, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
+
+    lossy = spark.createDataFrame([
+        _evo_row(10, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files MODIFY lang varchar(4)"),
+    ], _evo_schema())
+    with _p.raises(ValueError, match="lossy"):
+        replay(lossy, t, batch_id="b2", table_meta=meta, evolve_from_ddl=True)
+
+    ren = spark.createDataFrame([
+        _evo_row(20, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files CHANGE lang language varchar(64)"),
+    ], _evo_schema())
+    replay(ren, t, batch_id="b3", table_meta=meta, evolve_from_ddl=True)
+
+    from bingo2sql_spark import ddl as DL
+    evolved = DL.apply_alter(meta, DL.parse_alter_table(
+        "ALTER TABLE test.repo_files CHANGE lang language varchar(64)")[2])
+    readd = spark.createDataFrame([
+        _evo_row(30, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files ADD COLUMN lang varchar(16)"),
+        # FULL row image: the server logs every column, including the
+        # renamed one's current value
+        _evo_row(31, "update", "f0", commit="c9", lang="new-lang",
+                 language="L0", content="v0b"),
+    ], _evo_schema())
+    with _p.raises(ValueError, match="compact"):
+        replay(readd, t, batch_id="b4", table_meta=evolved, evolve_from_ddl=True)
+    t.compact(spark)  # rewrites every bucket under current names
+    replay(readd, t, batch_id="b4", table_meta=evolved, evolve_from_ddl=True)
+    row = {r["path"]: (r["language"], r["lang"]) for r in t.read(spark).collect()}
+    assert row["f0"] == ("L0", "new-lang")   # carried + fresh column
+    assert row["f1"] == ("L1", None)         # re-added column NULL elsewhere
+
+
+def test_minimal_image_add_column_evolution(spark, tmp_path):
+    """VERDICT r6 #3: MINIMAL row images compose with DDL-driven
+    evolution. A mid-stream ADD COLUMN joins the per-column merge at
+    the ALTER's seq: pre-ALTER partial updates can neither write the
+    value nor claim presence (racing producers masked), and the final
+    state matches the per-column last-value-IGNORE-NULLS oracle."""
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "minevo"), n_buckets=4)
+    events1 = spark.createDataFrame([
+        _evo_row(1, "insert", "f1", commit="c1", lang="go", content="one"),
+        _evo_row(2, "insert", "f2", commit="c2", lang="py", content="two"),
+        # stray pre-ALTER partial update claiming the future column
+        _evo_row(50, "update", "f1", commit="c3", language="stray",
+                 changed=["language", "commit"]),
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files ADD COLUMN language varchar(64)"),
+        _evo_row(101, "update", "f1", commit="c4", language="main",
+                 changed=["language", "commit"]),
+        _evo_row(102, "update", "f2", commit="c5", content="two-v2",
+                 changed=["content", "commit"]),
+    ], _evo_schema())
+    replay(events1, t, batch_id="p1", table_meta=meta, evolve_from_ddl=True,
+           row_image="MINIMAL")
+    got = {r["path"]: (r["commit"], r["lang"], r["language"], r["content"])
+           for r in t.read(spark).collect()}
+    # per-column last-value-IGNORE-NULLS, `language` fed only at seq>=100
+    assert got == {
+        "f1": ("c4", "go", "main", "one"),      # content survives partials
+        "f2": ("c5", "py", None, "two-v2"),     # added column NULL-backfills
+    }
+    # rename over MINIMAL is loud, not silent
+    import pytest as _p
+    ren = spark.createDataFrame([
+        _evo_row(200, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files CHANGE lang l2 varchar(16)"),
+    ], _evo_schema())
+    with _p.raises(NotImplementedError, match="MINIMAL"):
+        replay(ren, t, batch_id="p2", table_meta=meta, evolve_from_ddl=True,
+               row_image="MINIMAL")
+
+
+@pytest.mark.parametrize("family", ["minhash", "simhash", "embedding"])
+def test_signature_store_probe_cache(spark, small_events, tmp_path, family):
+    """VERDICT r6 #4: the band/SRP probe table is built ONCE per store
+    version and persisted beside the snapshot — the hot serving path
+    reads the parquet (proved by poisoning the builder), refresh()
+    invalidates by construction, expire() reclaims probe dirs."""
+    import os
+
+    from bingo2sql_spark.operators import dedup as DD
+
+    t = IcebergLiteTable(str(tmp_path / f"pt_{family}"), n_buckets=8)
+    store = DD.SignatureStore(
+        str(tmp_path / f"pstore_{family}"), ["repo", "path"],
+        family=family, n_bits=16, dim=8, k=8, bands=4, n_planes=4,
+    )
+    replay(small_events.filter("seq < 1000"), t, batch_id="b1")
+    store.refresh(spark, t)
+
+    first = store.probes(spark)
+    assert set(first.columns) == {"repo", "path", "band", "probe"}
+    n_sigs = store.read(spark).count()
+    assert first.count() == 4 * n_sigs  # one probe per band per key
+    # probe values equal a fresh projection of the signature table
+    rebuilt = store._build_probes(store.read(spark))
+    assert {tuple(r) for r in first.collect()} == {tuple(r) for r in rebuilt.collect()}
+
+    # cache hit: poison the builder — the second call must NOT rebuild
+    real_build = store._build_probes
+    def boom(_):
+        raise AssertionError("probe table rebuilt on the hot path")
+    store._build_probes = boom
+    again = store.probes(spark)
+    assert again.count() == 4 * n_sigs
+
+    # refresh to a new version invalidates: probes() builds fresh
+    replay(small_events.filter("seq >= 1000"), t, batch_id="b2")
+    assert store.refresh(spark, t)["mode"] == "incremental"
+    with pytest.raises(AssertionError, match="rebuilt"):
+        store.probes(spark)
+    store._build_probes = real_build
+    fresh = store.probes(spark)
+    assert {tuple(r) for r in fresh.collect()} == {
+        tuple(r) for r in store._build_probes(store.read(spark)).collect()
+    }
+
+    # expire reclaims the superseded snapshot's probe dir with it
+    removed = store.expire(keep=1)
+    for d in removed:
+        assert not os.path.isdir(
+            os.path.join(store.path, d.replace("snap-", "probes-"))
+        )
+    assert any(p.startswith("probes-") for p in os.listdir(store.path))
