@@ -1609,15 +1609,43 @@ def test_minimal_image_add_column_evolution(spark, tmp_path):
         "f1": ("c4", "go", "main", "one"),      # content survives partials
         "f2": ("c5", "py", None, "two-v2"),     # added column NULL-backfills
     }
-    # rename over MINIMAL is loud, not silent
-    import pytest as _p
-    ren = spark.createDataFrame([
-        _evo_row(200, "ddl", None,
-                 stmt="ALTER TABLE test.repo_files CHANGE lang l2 varchar(16)"),
+
+def test_minimal_image_rename_evolution(spark, tmp_path):
+    """MINIMAL x CHANGE COLUMN: partial images' presence entries
+    translate through the renamed column's wire-name timeline — a
+    pre-rename partial update listing the OLD name and a post-rename
+    one listing the NEW name both land on the final column, stored
+    values carry through the manifest alias, and untouched columns
+    survive the partials (per-column last-value-IGNORE-NULLS)."""
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "minren"), n_buckets=4)
+    events1 = spark.createDataFrame([
+        _evo_row(1, "insert", "f1", commit="c1", lang="go", content="one"),
+        _evo_row(2, "insert", "f2", commit="c2", lang="py", content="two"),
+        _evo_row(3, "insert", "f3", commit="c3", lang="rs", content="three"),
     ], _evo_schema())
-    with _p.raises(NotImplementedError, match="MINIMAL"):
-        replay(ren, t, batch_id="p2", table_meta=meta, evolve_from_ddl=True,
-               row_image="MINIMAL")
+    replay(events1, t, batch_id="q1", table_meta=meta, evolve_from_ddl=True,
+           row_image="MINIMAL")
+    events2 = spark.createDataFrame([
+        # pre-rename partial update: presence under the OLD name
+        _evo_row(50, "update", "f1", commit="c4", lang="c",
+                 changed=["lang", "commit"]),
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files CHANGE lang language varchar(64)"),
+        # post-rename partial update: presence under the NEW name
+        _evo_row(101, "update", "f2", commit="c5", language="java",
+                 changed=["language", "commit"]),
+    ], _evo_schema())
+    evolved = replay(events2, t, batch_id="q2", table_meta=meta,
+                     evolve_from_ddl=True, row_image="MINIMAL")
+    assert not evolved["skipped"]
+    got = {r["path"]: (r["commit"], r["language"], r["content"])
+           for r in t.read(spark).collect()}
+    assert got == {
+        "f1": ("c4", "c", "one"),      # old-name presence translated
+        "f2": ("c5", "java", "two"),   # new-name presence direct
+        "f3": ("c3", "rs", "three"),   # untouched: alias carries stored value
+    }
 
 
 @pytest.mark.parametrize("family", ["minhash", "simhash", "embedding"])
