@@ -64,15 +64,36 @@ def _window_ok(spark) -> bool:
     return ok
 
 
+def _wait_clean(spark, max_wait: float = 90.0) -> None:
+    """Pre-sample gate: probe the control until the CURRENT window reads
+    clean (or max_wait elapses). A headline sample costs 5-70 s; a 0.2 s
+    probe that refuses to launch it into a window that is dirty RIGHT NOW
+    is far cheaper than paying for a doomed sample and rejecting it
+    after the fact (the r7 failure mode: 15 post-sample rejects, typed
+    headline never landed in a clean window). Readings here do NOT
+    count as window_rejects — nothing was sampled."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        c = control_secs(spark)
+        if _CONTROL["best"] is None or c < _CONTROL["best"]:
+            _CONTROL["best"] = c
+        if c <= _CONTROL_TOL * _CONTROL["best"]:
+            return
+        time.sleep(3.0)
+
+
 def _guarded_min(spark, run, n_clean: int, max_tries: int) -> float:
-    """min over n_clean samples whose POST-sample control reading is
-    clean; polluted-window samples are discarded and rerun (bounded by
+    """min over n_clean samples bracketed by clean control readings:
+    the pre-sample gate waits for a currently-quiet window, and the
+    POST-sample control confirms the window stayed clean across the
+    sample; polluted-window samples are discarded and rerun (bounded by
     max_tries — if the box never quiets down, the best observed sample
     is still returned and the rejection count says why)."""
     vals: list[float] = []
     everything: list[float] = []
     tries = 0
     while len(vals) < n_clean and tries < max_tries:
+        _wait_clean(spark)
         v = run()
         everything.append(v)
         tries += 1

@@ -826,10 +826,12 @@ class IcebergLiteTable:
                 if old.lower() in {k.lower() for k in S.MERGE_KEYS}:
                     raise ValueError(f"cannot rename merge key column {old!r}")
                 if old not in stored_cols:
-                    raise ValueError(
-                        f"rename {old!r} -> {new!r}: no such stored column "
-                        f"(table has {stored_cols})"
-                    )
+                    # the renamed column exists in the BATCH's starting
+                    # schema (table_meta) but was never stored — fresh
+                    # table, or no prior batch carried it. Nothing to
+                    # carry, so no alias; the batch's own projection
+                    # already writes the new name.
+                    continue
                 aliases[new] = [old] + aliases.pop(old, [])
             stored_cols = [rename_columns.get(c, c) for c in stored_cols]
             if len(set(stored_cols)) != len(stored_cols):

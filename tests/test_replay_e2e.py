@@ -1505,6 +1505,30 @@ def test_change_column_rename_end_to_end(spark, tmp_path):
     assert set(c.name for c in evolved.columns) == set(cur.columns) - {"bucket"}
 
 
+def test_change_column_rename_first_batch_fresh_table(spark, tmp_path):
+    """A CHANGE COLUMN in the very FIRST batch (fresh table, nothing
+    stored yet) must not fail: there are no stored values to carry, so
+    no alias is recorded and the batch's own projection writes the new
+    name. Pre-ALTER wire bytes still arrive under the old spelling and
+    land in the renamed column via the wire-name timeline."""
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "renfresh"), n_buckets=4)
+    events = spark.createDataFrame([
+        _evo_row(1, "insert", "f0", commit="c1", lang="old-wire", content="v0"),
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files CHANGE lang language varchar(64)"),
+        _evo_row(101, "insert", "f1", commit="c2", language="new-wire",
+                 content="v1"),
+    ], _evo_schema())
+    replay(events, t, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
+    cur = t.read(spark)
+    assert "language" in cur.columns and "lang" not in cur.columns
+    assert {r["path"]: r["language"] for r in cur.collect()} == {
+        "f0": "old-wire", "f1": "new-wire",
+    }
+    assert t.latest_manifest()["aliases"] == {}  # nothing stored to carry
+
+
 def test_change_column_rename_mor_read_path(spark, tmp_path):
     """Rename over a MERGE-ON-READ table: the commit appends a delta
     under the NEW name while base files keep the old; the read-time
