@@ -87,7 +87,94 @@ def _load_events(spark, args):
     return decode_events(raw.drop("_corrupt_record"))
 
 
+def build_stats_parser() -> argparse.ArgumentParser:
+    """`python -m bingo2sql_spark stats` — the reference's third
+    front-end (cmd/stats.go:30-54, ParserStats
+    core/parser_stats.go:549-632): per-table DML counts + totals over
+    the gated event range, tables ascending by total (A1/A2)."""
+    p = argparse.ArgumentParser(
+        prog="bingo2sql_spark stats",
+        description="Per-table DML counts over a landed change-event log.",
+    )
+    p.add_argument("--input", required=True, help="event directory (see --input-format)")
+    p.add_argument(
+        "--input-format",
+        choices=("envelope_parquet", "raw_typed_parquet", "raw_json_parquet", "raw_jsonl"),
+        default="envelope_parquet",
+    )
+    p.add_argument("--start-time", default=None)
+    p.add_argument("--stop-time", default=None)
+    p.add_argument("--start-file", default=None)
+    p.add_argument("--start-position", type=int, default=0)
+    p.add_argument("--stop-file", default=None)
+    p.add_argument("--stop-position", type=int, default=None)
+    p.add_argument("--include-gtids", default=None)
+    p.add_argument("-d", "--databases", action="append", default=None)
+    p.add_argument("-t", "--tables", action="append", default=None)
+    p.add_argument("--threadID", type=int, default=None, dest="thread_id")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def stats_main(argv: list[str]) -> int:
+    args = build_stats_parser().parse_args(argv)
+    from bingo2sql_spark.operators import filters as FL
+    from bingo2sql_spark.operators.stats import table_stats
+    from bingo2sql_spark.session import get_spark
+
+    spark = get_spark("bingo2sql-stats", master=args.master)
+    events = _load_events(spark, args)
+    events = FL.apply_filters(
+        events,
+        start_time=args.start_time,
+        stop_time=args.stop_time,
+        start_file=args.start_file,
+        start_pos=args.start_position,
+        stop_file=args.stop_file,
+        stop_pos=args.stop_position,
+        gtids=args.include_gtids,
+        dbs=args.databases,
+        tables=args.tables,
+        tid=args.thread_id,
+    )
+    rows = table_stats(events).collect()  # metadata-scale: one row/table
+    header = ("db", "table", "inserts", "updates", "deletes", "total",
+              "first_ts", "last_ts")
+    cells = [
+        [str(r["db"]), str(r["table"]), str(r["inserts"]), str(r["updates"]),
+         str(r["deletes"]), str(r["total"]), str(r["first_ts"]), str(r["last_ts"])]
+        for r in rows
+    ]
+    totals = [
+        "", "TOTAL",
+        str(sum(r["inserts"] for r in rows)),
+        str(sum(r["updates"] for r in rows)),
+        str(sum(r["deletes"] for r in rows)),
+        str(sum(r["total"] for r in rows)),
+        str(min((r["first_ts"] for r in rows), default="")),
+        str(max((r["last_ts"] for r in rows), default="")),
+    ]
+    widths = [
+        max(len(header[i]), *(len(row[i]) for row in cells + [totals]))
+        if cells else max(len(header[i]), len(totals[i]))
+        for i in range(len(header))
+    ]
+
+    def fmt(row: list[str]) -> str:
+        return "  ".join(c.ljust(w) for c, w in zip(row, widths)).rstrip()
+
+    print(fmt(list(header)))
+    for row in cells:
+        print(fmt(row))
+    print(fmt(totals))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "stats":
+        return stats_main(argv[1:])
     args = build_parser().parse_args(argv)
     from bingo2sql_spark.api import generate_sql
     from bingo2sql_spark.session import get_spark

@@ -284,13 +284,18 @@ def _parse_column(item: str) -> ColumnMeta | None:
     rest = _blank_string_literals(rest)
     up = f" {rest.upper()} "
     generated = _GENERATED_RE.search(rest) is not None
+    unsigned = " UNSIGNED " in up
+    # the UNSIGNED attribute is part of the declared type (it halves or
+    # doubles the representable range), so it rides in ctype too —
+    # check_type_change folds it into narrowing decisions (ADVICE r7)
+    ctype = type_base + re.sub(r"\s+", "", type_args) + (" unsigned" if unsigned else "")
     return ColumnMeta(
         name=name,
         is_key=" PRIMARY KEY " in up or up.rstrip().endswith(" PRIMARY KEY"),
-        unsigned=" UNSIGNED " in up,
+        unsigned=unsigned,
         generated=generated,
         unique=bool(re.search(r"\bUNIQUE(?:\s+KEY)?\b", up)),
-        ctype=(type_base + re.sub(r"\s+", "", type_args)) or None,
+        ctype=ctype or None,
     )
 
 
@@ -437,19 +442,31 @@ _MODIFY_COL_RE = re.compile(
 
 #: same-family widening ranks (MySQL integer/text ladders)
 _INT_RANK = {"tinyint": 1, "smallint": 2, "mediumint": 3, "int": 4, "integer": 4, "bigint": 5}
-#: max DECIMAL digits an int of each rank needs (bigint unsigned: 20)
-_INT_DIGITS = {1: 3, 2: 5, 3: 8, 4: 10, 5: 20}
+#: max decimal digits an int of each rank can need, BY SIGNEDNESS
+#: (ADVICE r7: the old single table used the unsigned bounds, so signed
+#: bigint -> decimal(19,0) was wrongly rejected — signed bigint needs 19)
+_INT_DIGITS_SIGNED = {1: 3, 2: 5, 3: 7, 4: 10, 5: 19}
+_INT_DIGITS_UNSIGNED = {1: 3, 2: 5, 3: 8, 4: 10, 5: 20}
 #: text-family byte capacities; char/varchar capacity is the declared length
 _TEXT_CAP = {"tinytext": 255, "text": 65_535, "mediumtext": 16_777_215, "longtext": 4_294_967_295}
 _FLOAT_SAFE_DIGITS = {"float": 7, "double": 15, "real": 15}
 
 
-def _type_parts(ctype: str) -> tuple[str, list[int]]:
-    m = re.match(r"([a-z]+)(?:\(([\d,\s]*)\))?", ctype.strip().lower())
+def _type_parts(ctype: str) -> tuple[str, list[int], bool]:
+    """(base, args, unsigned) from declared-type text like
+    'bigint(20) unsigned' — _parse_column keeps the UNSIGNED attribute
+    in ctype so signedness participates in narrowing checks."""
+    s = ctype.strip().lower()
+    unsigned = bool(re.search(r"\bunsigned\b", s))
+    m = re.match(r"([a-z]+)(?:\(([\d,\s]*)\))?", s)
     if not m:
-        return ctype.strip().lower(), []
+        return s, [], unsigned
     args = [int(a) for a in (m.group(2) or "").replace(" ", "").split(",") if a]
-    return m.group(1), args
+    return m.group(1), args, unsigned
+
+
+def _int_digits(rank: int, unsigned: bool) -> int:
+    return (_INT_DIGITS_UNSIGNED if unsigned else _INT_DIGITS_SIGNED)[rank]
 
 
 def _string_capacity(base: str, args: list[int]) -> int | None:
@@ -470,9 +487,9 @@ def check_type_change(old: str | None, new: str | None, column: str) -> None:
     server, core/parser.go:1624-1689; local mode must self-check)."""
     if not old or not new:
         return
-    ob, oa = _type_parts(old)
-    nb, na = _type_parts(new)
-    if (ob, oa) == (nb, na):
+    ob, oa, ou = _type_parts(old)
+    nb, na, nu = _type_parts(new)
+    if (ob, oa, ou) == (nb, na, nu):
         return
 
     def lossy(reason: str) -> None:
@@ -484,12 +501,32 @@ def check_type_change(old: str | None, new: str | None, column: str) -> None:
 
     o_int, n_int = _INT_RANK.get(ob), _INT_RANK.get(nb)
     o_cap, n_cap = _string_capacity(ob, oa), _string_capacity(nb, na)
-    if o_int and n_int and n_int < o_int:
-        lossy("smaller integer type")
+    if o_int and n_int:
+        # range containment by (rank, signedness), ADVICE r7: same-rank
+        # unsigned -> signed halves the range, signed -> unsigned loses
+        # negatives; unsigned -> HIGHER-rank signed is containment-safe
+        if n_int < o_int:
+            lossy("smaller integer type")
+        if ou and not nu and n_int <= o_int:
+            lossy("unsigned to signed of the same rank loses the upper half")
+        if not ou and nu:
+            lossy("signed to unsigned loses negative values")
+    #: max characters an old numeric value can render to (sign + digits
+    #: + decimal point) — what a numeric -> char/varchar MODIFY must hold
+    o_render = None
+    if o_int:
+        o_render = _int_digits(o_int, ou) + (0 if ou else 1)
+    if ob in ("decimal", "numeric"):
+        op, os_ = (oa + [10, 0])[0], (oa + [10, 0])[1] if len(oa) > 1 else 0
+        o_render = op + (1 if os_ else 0) + (0 if ou else 1)
     if o_cap is not None and n_cap is not None and n_cap < o_cap:
         lossy(f"capacity {o_cap} -> {n_cap}")
     if o_cap is not None and (n_int or nb in ("decimal", "numeric", *_FLOAT_SAFE_DIGITS)):
         lossy("string to numeric")
+    if o_render is not None and n_cap is not None and n_cap < o_render:
+        # numeric -> short string (ADVICE r7): bigint -> varchar(2)
+        # truncates rendered digits just as surely as bigint -> int
+        lossy(f"numeric needs up to {o_render} chars, target holds {n_cap}")
     if ob in ("decimal", "numeric"):
         op, os_ = (oa + [10, 0])[0], (oa + [10, 0])[1] if len(oa) > 1 else 0
         if nb in ("decimal", "numeric"):
@@ -497,13 +534,13 @@ def check_type_change(old: str | None, new: str | None, column: str) -> None:
             if np_ - ns < op - os_ or ns < os_:
                 lossy("fewer integer or fraction digits")
         elif n_int:
-            if os_ > 0 or op - os_ > _INT_DIGITS[n_int]:
+            if os_ > 0 or op - os_ > _int_digits(n_int, nu):
                 lossy("decimal to integer")
     if o_int and nb in ("decimal", "numeric"):
         np_, ns = (na + [10, 0])[0], (na + [10, 0])[1] if len(na) > 1 else 0
-        if np_ - ns < _INT_DIGITS[o_int]:
+        if np_ - ns < _int_digits(o_int, ou):
             lossy("decimal too narrow for the integer range")
-    if o_int and nb in _FLOAT_SAFE_DIGITS and _INT_DIGITS[o_int] > _FLOAT_SAFE_DIGITS[nb]:
+    if o_int and nb in _FLOAT_SAFE_DIGITS and _int_digits(o_int, ou) > _FLOAT_SAFE_DIGITS[nb]:
         lossy("integer exceeds the float mantissa")
     if ob == "double" and nb == "float":
         lossy("double to float")

@@ -715,6 +715,26 @@ class IcebergLiteTable:
             ~F.col("_deleted")
         )
         payload = [c for c in new.columns if not c.startswith("_") and c != "bucket"]
+        # schema drift across the gap (ADVICE r7): the old side was read
+        # under ITS OWN manifest, so a column renamed inside the gap
+        # still carries its old spelling there — translate it through the
+        # to-version's alias map (the newest spelling the old read knows
+        # wins; older ones were already coalesced by old's own read), and
+        # NULL-fill columns ADDED inside the gap. Columns dropped inside
+        # the gap simply leave the comparison (current-schema changelog,
+        # Iceberg semantics). Without this, old.select(struct(*data))
+        # raises AnalysisException on any rename-spanning diff.
+        to_aliases = mt.get("aliases") or {}
+        for c in payload:
+            if c in old.columns:
+                continue
+            carried = next(
+                (o for o in to_aliases.get(c, []) if o in old.columns), None
+            )
+            if carried is not None:
+                old = old.withColumnRenamed(carried, c)
+            else:
+                old = old.withColumn(c, F.lit(None).cast("string"))
         keys = list(S.MERGE_KEYS)
         data = [c for c in payload if c not in keys]
         o = old.select(*keys, F.struct(*data).alias("_old"))
@@ -814,6 +834,25 @@ class IcebergLiteTable:
         payload_cols = [c for c in batch.columns if not c.startswith("_")]
         stored_cols = list(m["columns"])
         aliases = {c: list(v) for c, v in (m.get("aliases") or {}).items()}
+        # DROPs apply BEFORE renames (ADVICE r7): MySQL permits
+        # `ALTER TABLE t DROP x, CHANGE y x ...` in one statement — the
+        # drop must vacate the name before the rename claims it, or the
+        # collision check below rejects a legal DDL sequence.
+        dropped_stored: set[str] = set()
+        if drop_columns:
+            # DDL-driven DROP COLUMN (VERDICT r5 #4): the column leaves
+            # the CURRENT schema — rewritten buckets omit it physically,
+            # untouched buckets keep old files but every read projects
+            # the manifest's column list, so it disappears everywhere at
+            # this snapshot while time travel to older versions still
+            # shows it (Iceberg drop-column semantics). Merge keys are
+            # the table's identity and cannot be dropped.
+            doomed = {c.lower() for c in drop_columns}
+            if any(k.lower() in doomed for k in S.MERGE_KEYS):
+                raise ValueError(f"cannot drop merge key column(s): {sorted(doomed)}")
+            dropped_stored = {c for c in stored_cols if c.lower() in doomed}
+            stored_cols = [c for c in stored_cols if c.lower() not in doomed]
+        rewrite_all = False
         if rename_columns:
             # DDL-driven CHANGE COLUMN (VERDICT r6 #2): stored values
             # carry to the new name WITHOUT rewriting untouched buckets —
@@ -832,7 +871,16 @@ class IcebergLiteTable:
                     # carry, so no alias; the batch's own projection
                     # already writes the new name.
                     continue
-                aliases[new] = [old] + aliases.pop(old, [])
+                if any(new.lower() == d.lower() for d in dropped_stored):
+                    # the rename TARGET was dropped in this same batch
+                    # (DROP x, CHANGE y x): pre-drop data files still
+                    # hold the name physically, so the NULL-coalescing
+                    # alias would resurrect dropped values wherever the
+                    # carried column is NULL. No alias; the reuse block
+                    # below forces a full rewrite instead.
+                    pass
+                else:
+                    aliases[new] = [old] + aliases.pop(old, [])
             stored_cols = [rename_columns.get(c, c) for c in stored_cols]
             if len(set(stored_cols)) != len(stored_cols):
                 raise ValueError(
@@ -853,17 +901,28 @@ class IcebergLiteTable:
                 "then re-add"
             )
         if drop_columns:
-            # DDL-driven DROP COLUMN (VERDICT r5 #4): the column leaves
-            # the CURRENT schema — rewritten buckets omit it physically,
-            # untouched buckets keep old files but every read projects
-            # the manifest's column list, so it disappears everywhere at
-            # this snapshot while time travel to older versions still
-            # shows it (Iceberg drop-column semantics). Merge keys are
-            # the table's identity and cannot be dropped.
             doomed = {c.lower() for c in drop_columns}
-            if any(k.lower() in doomed for k in S.MERGE_KEYS):
-                raise ValueError(f"cannot drop merge key column(s): {sorted(doomed)}")
-            all_cols = [c for c in all_cols if c.lower() not in doomed]
+            # a dropped name RE-INTRODUCED by this same batch (re-ADD,
+            # or CHANGE y x onto the dropped x) is legal MySQL DDL
+            # (ADVICE r7) but poisonous to lazy column pruning: old data
+            # files still hold the name physically, and any read that
+            # admits it would serve the dropped values for rows the
+            # batch didn't touch. MySQL's ALTER rewrites the table here;
+            # so do we — every live bucket lands in this snapshot under
+            # current names (copy-on-write only; MOR bases are immutable
+            # within a commit, so it must compact first). Names NOT
+            # re-introduced simply stay out of the schema (stored_cols
+            # already lost them — lazy drop, no rewrite).
+            reused = sorted({c for c in all_cols if c.lower() in doomed})
+            if reused and (m["buckets"] or m.get("deltas")):
+                if self.write_mode == "mor":
+                    raise ValueError(
+                        f"column name(s) {reused} are dropped and re-introduced "
+                        "in the same batch; a merge-on-read table cannot rewrite "
+                        "its bases in one commit — compact() first, then replay "
+                        "the DDL batch"
+                    )
+                rewrite_all = True
 
         b = batch.withColumn("bucket", bucket_col(self.n_buckets)).withColumnRenamed(
             "_seq", "_ingest_seq"
@@ -915,6 +974,13 @@ class IcebergLiteTable:
             }
             if stats:
                 min_seq = min(int(r["min_seq"]) for r in stats)
+            if rewrite_all:
+                # rename-onto-dropped-name (see above): every live
+                # bucket must land in this snapshot, not just the
+                # batch's — the pre-pass still supplied the counts
+                affected = sorted(
+                    set(affected) | {int(bk) for bk in m["buckets"]}
+                )
         else:
             affected = list(range(self.n_buckets))  # empty table: nothing to prune
             from pyspark.sql import Observation
@@ -952,6 +1018,13 @@ class IcebergLiteTable:
                 current = self._empty_state(spark, all_cols)
             else:
                 current = self._read_raw(spark, buckets=affected)
+                if dropped_stored:
+                    # vacate dropped names BEFORE renames claim them —
+                    # the old manifest's read still carries them, and a
+                    # rename onto one would otherwise duplicate the name
+                    current = current.drop(
+                        *[c for c in dropped_stored if c in current.columns]
+                    )
                 if rename_columns:
                     # stored rows read under the pre-rename manifest:
                     # carry values (and per-column attributions) to the

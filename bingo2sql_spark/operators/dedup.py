@@ -831,10 +831,28 @@ class SignatureStore:
         ver = int(st["version"])
         d = os.path.join(self.path, f"probes-{ver:012d}")
         if not os.path.isdir(d):
-            # deterministic projection of an immutable snapshot: a
-            # concurrent double-build writes identical rows, and
-            # mode=overwrite keeps the loser harmless
-            self._build_probes(self.read(spark)).write.mode("overwrite").parquet(d)
+            # ATOMIC publish (ADVICE r7): build into a per-attempt temp
+            # dir and rename into place. A bare write-to-final would let
+            # a reader scan a half-written dir (isdir is true from the
+            # first part file) and would leave a crashed writer's
+            # partial output looking like a valid cache forever. rename
+            # is atomic; when it fails the slot was won by a concurrent
+            # builder of the SAME deterministic projection, so the
+            # loser's temp is simply discarded.
+            import shutil as _sh
+            import uuid as _uu
+
+            tmp = f"{d}.tmp-{_uu.uuid4().hex[:8]}"
+            try:
+                self._build_probes(self.read(spark)).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                os.rename(tmp, d)
+            except OSError:
+                if not os.path.isdir(d):  # lost to neither writer nor crash
+                    raise
+            finally:
+                _sh.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(d)
 
     def version(self) -> int | None:
@@ -902,6 +920,11 @@ class SignatureStore:
                 ignore_errors=True,
             )
             removed.append(d)
+        # crashed probe builds leave probes-*.tmp-* dirs (never visible
+        # to readers — probes() publishes by atomic rename); reclaim them
+        for d in os.listdir(self.path):
+            if d.startswith("probes-") and ".tmp-" in d:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return removed
 
 

@@ -131,10 +131,13 @@ def replay(
                     history[new_col.name] = segs + [(seq, new_col.name)]
                     origin[new_col.name] = o
                 # modify: type-only change, no column-set delta
-        # a column dropped then RE-ADDED within the batch survives (its
-        # values start at the re-add seq, old values lost — MySQL drop
-        # semantics); only net drops leave the table schema
-        drop_cols = [c for c in drop_cols if c not in history]
+        # a column dropped then RE-ADDED (or claimed by a CHANGE rename)
+        # within the batch keeps the NAME live, but the DROP still
+        # applies to the stored values — MySQL drop semantics lose the
+        # old values everywhere. The drop is therefore NEVER cancelled
+        # here (ADVICE r7): commit() detects the same-batch name reuse
+        # and rewrites every live bucket so untouched data files cannot
+        # leak the dropped values through the reused name.
         rename_cols = {
             o: c
             for c, o in ((c, origin.get(c)) for c in history)

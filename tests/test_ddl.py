@@ -376,7 +376,7 @@ def test_parse_change_and_modify_column():
     meta = parse_schema_text(
         "CREATE TABLE t (id bigint unsigned primary key, name varchar(20))"
     )["t"]
-    assert [c.ctype for c in meta.columns] == ["bigint", "varchar(20)"]
+    assert [c.ctype for c in meta.columns] == ["bigint unsigned", "varchar(20)"]
 
     _, _, acts = parse_alter_table(
         "ALTER TABLE t CHANGE COLUMN `name` `full_name` VARCHAR(40) AFTER id, "
@@ -450,5 +450,44 @@ def test_modify_lossy_narrowing_is_loud():
         "ALTER TABLE t MODIFY score decimal(14,4)",
         "ALTER TABLE t MODIFY score double",
         "ALTER TABLE t MODIFY id bigint",             # same type: no-op
+        "ALTER TABLE t MODIFY id decimal(19,0)",      # ADVICE r7: signed bigint fits 19 digits
+    ]:
+        alter(stmt)
+
+
+def test_signedness_and_render_capacity_narrowing():
+    """ADVICE r7 closures: UNSIGNED participates in narrowing (same-rank
+    sign flips are lossy, unsigned -> wider signed is fine), numeric ->
+    short char/varchar is policed by rendered width, and signed bigint
+    -> decimal(19,0) passes (the old unsigned-bound table rejected it)."""
+    import pytest as _p
+
+    from bingo2sql_spark.ddl import apply_alter, parse_alter_table, parse_schema_text
+
+    meta = parse_schema_text(
+        "CREATE TABLE t (id bigint primary key, n int unsigned, "
+        "s bigint, score decimal(10,2))"
+    )["t"]
+    assert meta.columns[1].ctype == "int unsigned"
+
+    def alter(stmt):
+        return apply_alter(meta, parse_alter_table(stmt)[2])
+
+    for stmt in [
+        "ALTER TABLE t MODIFY n int",                # unsigned -> signed, same rank
+        "ALTER TABLE t MODIFY s bigint unsigned",    # signed -> unsigned
+        "ALTER TABLE t MODIFY s varchar(2)",         # bigint needs up to 20 chars
+        "ALTER TABLE t MODIFY n char(9)",            # uint needs up to 10 chars
+        "ALTER TABLE t MODIFY score varchar(10)",    # -9999999999.99 needs 12
+    ]:
+        with _p.raises(ValueError, match="lossy"):
+            alter(stmt)
+    for stmt in [
+        "ALTER TABLE t MODIFY n bigint",             # unsigned int fits signed bigint
+        "ALTER TABLE t MODIFY s decimal(19,0)",      # signed bigint: 19 digits suffice
+        "ALTER TABLE t MODIFY s varchar(20)",        # sign + 19 digits
+        "ALTER TABLE t MODIFY n varchar(10)",
+        "ALTER TABLE t MODIFY score varchar(12)",
+        "ALTER TABLE t MODIFY n int unsigned",       # same type: no-op
     ]:
         alter(stmt)

@@ -1724,3 +1724,131 @@ def test_signature_store_probe_cache(spark, small_events, tmp_path, family):
             os.path.join(store.path, d.replace("snap-", "probes-"))
         )
     assert any(p.startswith("probes-") for p in os.listdir(store.path))
+
+
+def test_changes_between_spans_rename_commit(spark, tmp_path):
+    """ADVICE r7: changes_between across a CHANGE COLUMN commit must
+    translate the old side through the to-version's alias map — the old
+    snapshot still stores the pre-rename spelling, and without the
+    translation old.select(struct(*data)) raises AnalysisException. A
+    value-carrying rename alone is NOT an update (same payload after
+    alignment); the one real DML change is."""
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "cbren"), n_buckets=4)
+    events1 = spark.createDataFrame(
+        [_evo_row(i + 1, "insert", f"f{i}", commit=f"c{i}", lang=f"L{i}",
+                  content=f"v{i}") for i in range(6)],
+        _evo_schema(),
+    )
+    replay(events1, t, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
+    v1 = t.latest_manifest()["version"]
+    events2 = spark.createDataFrame([
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files CHANGE lang language varchar(64)"),
+        _evo_row(101, "update", "f0", commit="c9", language="post", content="v0b"),
+    ], _evo_schema())
+    replay(events2, t, batch_id="b2", table_meta=meta, evolve_from_ddl=True)
+    v2 = t.latest_manifest()["version"]
+    ch = t.changes_between(spark, v1, v2).collect()
+    assert {(r["repo"], r["path"], r["op"]) for r in ch} == {("r1", "f0", "update")}
+    row = ch[0]
+    # old side serves the pre-rename value UNDER THE NEW NAME
+    assert row["before"]["language"] == "L0" and row["after"]["language"] == "post"
+    assert row["before"]["content"] == "v0" and row["after"]["content"] == "v0b"
+
+
+def test_signature_refresh_spans_rename_commit(spark, tmp_path):
+    """The incremental signature path consumes changes_between; a
+    rename commit inside the refresh window must not break it, and the
+    incremental result must equal a full recompute (ADVICE r7)."""
+    from bingo2sql_spark.operators.dedup import SignatureStore
+
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "sigren"), n_buckets=4)
+    events1 = spark.createDataFrame(
+        [_evo_row(i + 1, "insert", f"f{i}", commit=f"c{i}", lang=f"L{i}",
+                  content=f"doc {i} alpha beta gamma") for i in range(6)],
+        _evo_schema(),
+    )
+    replay(events1, t, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
+    store = SignatureStore(str(tmp_path / "sigren_store"), ["repo", "path"], k=4)
+    assert store.refresh(spark, t)["mode"] == "bootstrap"
+    events2 = spark.createDataFrame([
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files CHANGE lang language varchar(64)"),
+        _evo_row(101, "update", "f0", commit="c9", language="post",
+                 content="doc 0 REWRITTEN delta epsilon"),
+    ], _evo_schema())
+    replay(events2, t, batch_id="b2", table_meta=meta, evolve_from_ddl=True)
+    assert store.refresh(spark, t)["mode"] == "incremental"
+    fresh = SignatureStore(str(tmp_path / "sigren_full"), ["repo", "path"], k=4)
+    fresh.refresh(spark, t)
+    assert sorted(map(tuple, store.read(spark).collect())) == sorted(
+        map(tuple, fresh.read(spark).collect())
+    )
+
+
+def test_drop_then_change_onto_dropped_name_same_batch(spark, tmp_path):
+    """ADVICE r7: `DROP content, CHANGE lang content ...` in one batch
+    is legal MySQL — the drop vacates the name, the rename claims it.
+    The commit detects the same-batch reuse and rewrites every live
+    bucket (no alias), so untouched rows serve the CARRIED value and
+    the dropped values are gone everywhere; time travel still sees the
+    pre-DDL state."""
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "dropchg"), n_buckets=4)
+    events1 = spark.createDataFrame(
+        [_evo_row(i + 1, "insert", f"f{i}", commit=f"c{i}", lang=f"L{i}",
+                  content=f"v{i}") for i in range(6)],
+        _evo_schema(),
+    )
+    replay(events1, t, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
+    v1 = t.latest_manifest()["version"]
+    events2 = spark.createDataFrame([
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files DROP COLUMN content, "
+                      "CHANGE lang content text"),
+        _evo_row(101, "update", "f0", commit="c9", lang="NEW", content="NEW"),
+    ], _evo_schema())
+    replay(events2, t, batch_id="b2", table_meta=meta, evolve_from_ddl=True)
+    m = t.latest_manifest()
+    assert "lang" not in m["columns"] and "content" in m["columns"]
+    assert m["aliases"] == {}  # full rewrite, not an alias
+    got = {r["path"]: r["content"] for r in t.read(spark).collect()}
+    # untouched keys: the CARRIED lang value, never the dropped content
+    assert got == {"f0": "NEW", **{f"f{i}": f"L{i}" for i in range(1, 6)}}
+    # time travel: the pre-DDL snapshot still shows the original columns
+    old = {r["path"]: (r["lang"], r["content"])
+           for r in t.read(spark, version=v1).collect()}
+    assert old["f1"] == ("L1", "v1")
+
+
+def test_drop_then_readd_same_batch_loses_old_values(spark, tmp_path):
+    """DROP x, ADD x in one batch: the name survives but the stored
+    values must vanish everywhere (MySQL rewrites the table on DROP) —
+    previously untouched buckets leaked the old values through the
+    reused name. MOR cannot rewrite bases in one commit and is loud."""
+    meta = _evo_meta()
+    t = IcebergLiteTable(str(tmp_path / "dropreadd"), n_buckets=4)
+    events1 = spark.createDataFrame(
+        [_evo_row(i + 1, "insert", f"f{i}", commit=f"c{i}", lang=f"L{i}",
+                  content=f"v{i}") for i in range(6)],
+        _evo_schema(),
+    )
+    replay(events1, t, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
+    events2 = spark.createDataFrame([
+        _evo_row(100, "ddl", None,
+                 stmt="ALTER TABLE test.repo_files DROP COLUMN lang, "
+                      "ADD COLUMN lang varchar(32)"),
+        _evo_row(101, "update", "f0", commit="c9", lang="fresh", content="v0b"),
+    ], _evo_schema())
+    replay(events2, t, batch_id="b2", table_meta=meta, evolve_from_ddl=True)
+    got = {r["path"]: r["lang"] for r in t.read(spark).collect()}
+    # f0 re-written post-ALTER; every other key's old value is GONE
+    assert got == {"f0": "fresh", **{f"f{i}": None for i in range(1, 6)}}
+
+    tm = IcebergLiteTable(str(tmp_path / "dropreadd_mor"), n_buckets=4,
+                          write_mode="mor")
+    replay(events1, tm, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
+    with pytest.raises(ValueError, match="compact"):
+        replay(events2, tm, batch_id="b2", table_meta=meta, evolve_from_ddl=True)

@@ -333,3 +333,46 @@ def test_websocket_progress_push(spark, tmp_path):
         assert e2.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_cli_stats_subcommand(spark, tmp_path, capsys):
+    """VERDICT r7 #6 — `python -m bingo2sql_spark stats` mirrors the
+    reference's stats front-end (cmd/stats.go:30-54): per-table DML
+    pivot + totals + ts span over the gated range, ascending by total,
+    matching the cdc_stats_per_table oracle frame."""
+    from bingo2sql_spark.__main__ import main
+    from bingo2sql_spark.operators.stats import table_stats
+    from bingo2sql_spark.sources.decode import decode_events_typed
+    from bingo2sql_spark.sources.synth import generate_events, to_raw_typed
+
+    ev = generate_events(spark, n_keys=60, versions_per_key=8, n_repos=6, seed=7)
+    src = str(tmp_path / "stats_landing")
+    to_raw_typed(ev).write.parquet(src)
+
+    rc = main(["stats", "--input", src, "--input-format", "raw_typed_parquet",
+               "-t", "repo_files"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert lines[0].split()[:6] == ["db", "table", "inserts", "updates",
+                                    "deletes", "total"]
+    # the oracle frame: same operator over the same decoded events
+    oracle_rows = table_stats(
+        decode_events_typed(spark.read.parquet(src)).filter("table = 'repo_files'")
+    ).collect()
+    body = [ln.split() for ln in lines[1:-1]]
+    assert [b[:6] for b in body] == [
+        [r["db"], r["table"], str(r["inserts"]), str(r["updates"]),
+         str(r["deletes"]), str(r["total"])]
+        for r in oracle_rows
+    ]
+    total_line = lines[-1].split()
+    assert total_line[0] == "TOTAL"
+    assert int(total_line[4]) == sum(r["total"] for r in oracle_rows)
+
+    # gates apply: a non-matching table filter yields only the header +
+    # empty totals
+    rc = main(["stats", "--input", src, "--input-format", "raw_typed_parquet",
+               "-t", "nope"])
+    assert rc == 0
+    out2 = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert out2[-1].split()[:2] == ["TOTAL", "0"]
