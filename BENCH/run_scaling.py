@@ -45,12 +45,20 @@ from bingo2sql_spark.session import get_spark
 from bingo2sql_spark.sources.synth import generate_events, to_raw, to_raw_typed
 
 out, n_events, wire = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+landing = sys.argv[4] if len(sys.argv) > 4 else "flat"
 spark = get_spark("scaling-prep")
 n_keys = max(1000, n_events // 8)
 ev = generate_events(spark, n_keys=n_keys, versions_per_key=8,
                      n_repos=max(50, n_keys // 200))
 land = to_raw_typed if wire == "typed" else to_raw
-land(ev).write.mode("overwrite").parquet(out)
+if landing == "bucketed":
+    # bucket-aligned landing (VERDICT r7 #1): the transport fans events
+    # out by the target table's bucket function, typed wire only
+    from bingo2sql_spark.sources.layout import land_bucket_aligned
+    assert wire == "typed", "bucket-aligned landing needs the typed wire"
+    land_bucket_aligned(land(ev), out, n_buckets=64)
+else:
+    land(ev).write.mode("overwrite").parquet(out)
 print("PREP_DONE")
 """
 
@@ -64,6 +72,9 @@ from bingo2sql_spark.pipeline import replay
 
 cores, raw_dir, n_events, wire = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4]
 strategy = sys.argv[5] if len(sys.argv) > 5 else "full"
+merge_impl = sys.argv[6] if len(sys.argv) > 6 else "hash"
+rows_per_task = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+tasks_per_core = int(sys.argv[8]) if len(sys.argv) > 8 else 4
 tmp = tempfile.mkdtemp(prefix=f"scale{{cores}}_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 spark = get_spark(f"scaling-{{cores}}", master=f"local[{{cores}}]", shuffle_partitions=cores,
                   extra_conf={{"spark.local.dir": tmp + "/spark-local"}})
@@ -76,7 +87,10 @@ replay(decode(raw.filter("seq % 50 = 0"), before_fields=KEYS), warm, batch_id="w
 # candidate rows, BENCH/BASELINE.md round-6): below it the full plan
 # wins on tmpfs, above it the election's byte cut pays locally too
 t = IcebergLiteTable(tmp + "/tgt", n_buckets=64, merge_strategy=strategy,
-                     election_min_rows=10_000_000 if strategy == "auto" else 0)
+                     election_min_rows=10_000_000 if strategy == "auto" else 0,
+                     merge_impl=merge_impl,
+                     merge_rows_per_task=rows_per_task or None,
+                     merge_tasks_per_core=tasks_per_core)
 t0 = time.time()
 replay(decode(raw, before_fields=KEYS), t, batch_id="b", tables=["repo_files"])
 secs = time.time() - t0
@@ -92,11 +106,12 @@ shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_one(cores: int, raw_dir: str, n_events: int, wire: str,
-            strategy: str = "full") -> float:
+            strategy: str = "full", merge_impl: str = "hash",
+            rows_per_task: int = 0, tasks_per_core: int = 4) -> float:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c",
          CHILD.format(repo=REPO), str(cores), raw_dir, str(n_events), wire,
-         strategy],
+         strategy, merge_impl, str(rows_per_task), str(tasks_per_core)],
         capture_output=True, text=True, timeout=1200,
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -124,6 +139,21 @@ def main() -> None:
                          "winner payloads only — the cluster deployment mode, "
                          "and the bandwidth-relief candidate when the in-box "
                          "working set outgrows the shared LLC")
+    ap.add_argument("--landing", choices=("flat", "bucketed"), default="flat",
+                    help="event landing layout: flat time-ordered parquet, or "
+                         "bucket-aligned (partitioned by the target table's "
+                         "bucket function — the partition-keyed-transport "
+                         "shape; typed wire only)")
+    ap.add_argument("--merge-impl", choices=("hash", "sort"), default="hash",
+                    help="row-level winner resolution: hash max_by aggregate "
+                         "or sort + row_number (bounded cache footprint)")
+    ap.add_argument("--rows-per-task", type=int, default=0,
+                    help="target candidate rows per merge task (0 = 4x-core "
+                         "default); finer tasks keep hash-agg state "
+                         "cache-resident")
+    ap.add_argument("--tasks-per-core", type=int, default=4,
+                    help="merge-exchange tasks per core (bucket-pure, so "
+                         "more tasks never change the file count)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 
@@ -133,7 +163,7 @@ def main() -> None:
     try:
         prep = subprocess.run(
             [sys.executable, "-c", PREP.format(repo=REPO), raw_dir, str(args.events),
-             args.wire],
+             args.wire, args.landing],
             capture_output=True, text=True, timeout=1200,
         )
         if "PREP_DONE" not in prep.stdout:
@@ -152,7 +182,8 @@ def main() -> None:
             for cores in (args.n, args.n * 4):
                 times[cores].append(
                     run_one(cores, raw_dir, args.events, args.wire,
-                            args.merge_strategy))
+                            args.merge_strategy, args.merge_impl,
+                            args.rows_per_task, args.tasks_per_core))
         results = {}
         for cores, ts in times.items():
             ts = sorted(ts)

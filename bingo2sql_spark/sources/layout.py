@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bingo2sql_spark import schema as S
+
 
 def land_events(events: DataFrame, path: str, by_day: bool = True) -> None:
     """Write the event log in the pruning-friendly layout:
@@ -32,6 +34,48 @@ def land_events(events: DataFrame, path: str, by_day: bool = True) -> None:
         .sortWithinPartitions("log_pos")
         .write.mode("overwrite")
         .partitionBy(*part_names)
+        .parquet(path)
+    )
+
+
+def land_bucket_aligned(raw: DataFrame, path: str, n_buckets: int) -> None:
+    """BUCKET-ALIGNED landing (VERDICT r7 #1): write a typed-wire event
+    batch physically partitioned by the TARGET TABLE's bucket function
+    (`pbucket=<b>/part-*.parquet`), the way a partition-keyed transport
+    (Kafka keyed by merge key, or a connector fanning out by bucket)
+    lands it. The merge then reads bucket-homogeneous splits, which is
+    what makes its wide stages scale:
+
+    - the key-only election's MAP-SIDE COMBINE actually combines — a
+      time-ordered flat landing scatters a key's v versions across ~v
+      splits, so per-split distinct-key maps are nearly input-sized and
+      the "narrow" shuffle carries ~all rows; bucket-homogeneous splits
+      hold every version of their keys, collapsing the shuffle by ~v;
+    - the bucket exchange becomes a pass-through pattern (each map task
+      feeds ~one reducer) instead of an all-to-all;
+    - per-split combine maps are bucket-sized (keys/n_buckets), not
+      input-sized — cache-resident at any total scale.
+
+    The bucket column is computed with the SAME expression the sink
+    uses (apply.bucket_col over the merge keys, coalesced across the
+    before/after images), so landing and table can never disagree;
+    readers that don't care simply ignore the extra partition column
+    (decode projects it away). Works for the typed wire only — JSON
+    images would need a parse to extract keys, defeating the point."""
+    from bingo2sql_spark.operators.apply import bucket_col
+
+    keyed = raw
+    for k in S.MERGE_KEYS:
+        keyed = keyed.withColumn(
+            k, F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
+        )
+    (
+        keyed.withColumn("pbucket", bucket_col(n_buckets))
+        .drop(*S.MERGE_KEYS)
+        .repartition(F.col("pbucket"))
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
         .parquet(path)
     )
 

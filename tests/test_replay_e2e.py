@@ -1852,3 +1852,68 @@ def test_drop_then_readd_same_batch_loses_old_values(spark, tmp_path):
     replay(events1, tm, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
     with pytest.raises(ValueError, match="compact"):
         replay(events2, tm, batch_id="b2", table_meta=meta, evolve_from_ddl=True)
+
+
+def test_merge_impl_sort_equivalence(spark, tmp_path):
+    """VERDICT r7 #1: the sort-based winner resolution (local sort +
+    row_number over the bucket exchange — bounded cache footprint) is
+    state-identical to the hash max_by plan across initial load,
+    incremental commit, and election, tombstones included."""
+    from bingo2sql_spark.sources.synth import generate_events
+
+    ev1 = generate_events(spark, n_keys=400, versions_per_key=6, seed=3)
+    ev2 = generate_events(spark, n_keys=400, versions_per_key=6, seed=9)
+    tables = {}
+    for name, kw in {
+        "hash": {},
+        "sort": {"merge_impl": "sort"},
+        "sort_elect": {"merge_impl": "sort", "merge_strategy": "election"},
+        "sort_fine": {"merge_impl": "sort", "merge_rows_per_task": 100},
+    }.items():
+        t = IcebergLiteTable(str(tmp_path / name), n_buckets=16, **kw)
+        replay(ev1, t, batch_id="b1", tables=["repo_files"])
+        replay(ev2, t, batch_id="b2", tables=["repo_files"])
+        tables[name] = t.state_checksum(spark)
+    assert tables["sort"] == tables["hash"]
+    assert tables["sort_elect"] == tables["hash"]
+    assert tables["sort_fine"] == tables["hash"]
+    # tombstones survive the sort plan: a fresh older replay cannot
+    # resurrect deleted keys (same invariant the hash plan pins)
+    t = IcebergLiteTable(str(tmp_path / "sort_tomb"), n_buckets=16,
+                         merge_impl="sort")
+    replay(ev1, t, batch_id="b1", tables=["repo_files"])
+    replay(ev1.filter("op = 'insert'"), t, batch_id="b_old",
+           tables=["repo_files"])
+    ref = IcebergLiteTable(str(tmp_path / "hash_tomb"), n_buckets=16)
+    replay(ev1, ref, batch_id="b1", tables=["repo_files"])
+    replay(ev1.filter("op = 'insert'"), ref, batch_id="b_old",
+           tables=["repo_files"])
+    assert t.state_checksum(spark) == ref.state_checksum(spark)
+
+
+def test_bucket_aligned_landing_replay(spark, tmp_path):
+    """VERDICT r7 #1: a typed-wire landing written bucket-aligned
+    (layout.land_bucket_aligned — partitioned by the target table's own
+    bucket function) replays to the identical state as the flat landing;
+    the pbucket partition column is transport detail the decode projects
+    away."""
+    from bingo2sql_spark.sources.decode import decode_events_typed
+    from bingo2sql_spark.sources.layout import land_bucket_aligned
+    from bingo2sql_spark.sources.synth import generate_events, to_raw_typed
+
+    ev = generate_events(spark, n_keys=300, versions_per_key=6, seed=5)
+    flat_dir, bk_dir = str(tmp_path / "flat"), str(tmp_path / "bucketed")
+    to_raw_typed(ev).write.parquet(flat_dir)
+    land_bucket_aligned(to_raw_typed(ev), bk_dir, n_buckets=16)
+
+    import os
+
+    assert any(d.startswith("pbucket=") for d in os.listdir(bk_dir))
+    ta = IcebergLiteTable(str(tmp_path / "ta"), n_buckets=16)
+    tb = IcebergLiteTable(str(tmp_path / "tb"), n_buckets=16,
+                          merge_strategy="election")
+    replay(decode_events_typed(spark.read.parquet(flat_dir)), ta,
+           batch_id="b1", tables=["repo_files"])
+    replay(decode_events_typed(spark.read.parquet(bk_dir)), tb,
+           batch_id="b1", tables=["repo_files"])
+    assert ta.state_checksum(spark) == tb.state_checksum(spark)
