@@ -127,8 +127,14 @@ def to_upsert_rows_evolved(
     after_fields = set(resolved.schema["after"].dataType.fieldNames())
 
     def wire(name: str):
+        # cast: evolved tables store values as TEXT (the ddl layer's
+        # convention — check_type_change polices DECLARED types because
+        # storage is uniform text, so widening never rewrites). A typed
+        # wire field (e.g. a bigint ADDed column) must land as its
+        # literal string or later snapshots mix physical parquet types
+        # under one manifest column.
         return (
-            F.col(f"after.{name}")
+            F.col(f"after.{name}").cast("string")
             if name in after_fields
             else F.lit(None).cast("string")
         )

@@ -203,6 +203,36 @@ class TableMeta:
         """Generated columns excluded (ValidColumns core/parser.go:81-91)."""
         return [c.name for c in self.columns if not c.generated]
 
+    def to_dict(self) -> dict:
+        """JSON-serializable form — the streaming ingest persists the
+        evolved registry entry beside the table so a checkpoint restart
+        resumes with the post-DDL schema (streaming.pipeline)."""
+        return {
+            "db": self.db,
+            "table": self.table,
+            "schema_ver": self.schema_ver,
+            "columns": [
+                {
+                    "name": c.name,
+                    "is_key": c.is_key,
+                    "unsigned": c.unsigned,
+                    "generated": c.generated,
+                    "unique": c.unique,
+                    "ctype": c.ctype,
+                }
+                for c in self.columns
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TableMeta":
+        return cls(
+            db=d["db"],
+            table=d["table"],
+            schema_ver=int(d["schema_ver"]),
+            columns=[ColumnMeta(**c) for c in d["columns"]],
+        )
+
 
 def repo_files_meta(schema_ver: int = LATEST_SCHEMA_VER) -> TableMeta:
     """The pinned target table's metadata."""

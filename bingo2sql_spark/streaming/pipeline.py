@@ -40,11 +40,28 @@ def stream_events(
     spark: SparkSession,
     events_dir: str,
     max_files_per_trigger: int | None = None,
+    with_statement: bool = False,
+    schema: Any = None,
 ) -> DataFrame:
     """S1 — the remote-tail analog: a file-based event stream in strict
     log order (file-order = event-order). On a cluster this is the same
-    code over a Kafka/object-store landing zone."""
-    reader = spark.readStream.schema(S.ENVELOPE)
+    code over a Kafka/object-store landing zone. `with_statement` adds
+    the op='ddl' Query events' `statement` column to the read schema
+    (NULL on DML rows and on landings that never carried it) — required
+    by evolve_from_ddl. `schema` overrides the whole read schema — an
+    evolving deployment's landing carries wider payload structs than
+    the pinned registry version (e.g. both spellings of a renamed
+    column while producers race the DDL)."""
+    from pyspark.sql import types as T
+
+    if schema is None:
+        schema = S.ENVELOPE
+        if with_statement:
+            schema = T.StructType(
+                list(S.ENVELOPE.fields)
+                + [T.StructField("statement", T.StringType(), True)]
+            )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(events_dir)
@@ -67,6 +84,10 @@ def start_ingest(
     row_image: str = "FULL",
     source_format: str = "envelope_parquet",
     on_commit: Any = None,
+    table_meta: Any = None,
+    evolve_from_ddl: bool = False,
+    validate_stored: bool = False,
+    source_schema: Any = None,
     **filter_kwargs: Any,
 ) -> StreamingQuery:
     """Launch the ingest query. availableNow=True drains the current
@@ -111,7 +132,34 @@ def start_ingest(
     durable commit — the continuous-curation hook (e.g.
     dedup.SignatureStore.refresh keeps a signature table in lockstep
     with the replicated corpus); exactly-once analysis in the hook-call
-    comment below."""
+    comment below.
+
+    evolve_from_ddl=True (VERDICT r7 #2): ALTER TABLE statements
+    arriving MID-TAIL drive the target table's schema inside
+    foreachBatch — the same planner/projection the batch replay uses
+    (pipeline.plan_ddl_evolution / project_upserts: ADD at the ALTER's
+    seq, DROP, CHANGE renames via manifest aliases, MODIFY narrowing
+    checks, MINIMAL composition), applied per micro-batch against a
+    registry entry that EVOLVES across batches. The reference's live
+    loop does this inline (core/parser.go:2314-2339). Needs
+    `table_meta` (the entry's state at tail start). Restart safety: the
+    evolved meta + the highest applied DDL seq persist atomically to
+    `<table>/_schema_meta.json` after each commit — a checkpoint
+    restart resumes from the post-DDL schema, a re-delivered epoch's
+    DDL rows are skipped by the seq cursor (seqs are global log
+    positions, so the cursor also survives a FRESH checkpoint whose
+    epochs reset), and a crash between commit and persist just
+    re-derives the same plan from the re-delivered epoch. Envelope
+    landings only: the raw wire shapes don't carry `statement`."""
+    if evolve_from_ddl:
+        if table_meta is None:
+            raise ValueError("evolve_from_ddl=True requires table_meta")
+        if source_format != "envelope_parquet":
+            raise NotImplementedError(
+                "evolve_from_ddl needs the envelope landing (op='ddl' rows "
+                f"carry `statement` there); {source_format!r} does not"
+            )
+        filter_kwargs.setdefault("include_ddl", True)
     if source_format == "raw_jsonl":
         from bingo2sql_spark.sources.decode import decode_events
         from bingo2sql_spark.sources.layout import stream_raw_jsonl
@@ -139,7 +187,10 @@ def start_ingest(
             stream_raw_socket(spark, host, int(port)), schema_ver=schema_ver
         )
     else:
-        stream = stream_events(spark, events_dir, max_files_per_trigger)
+        stream = stream_events(
+            spark, events_dir, max_files_per_trigger,
+            with_statement=evolve_from_ddl, schema=source_schema,
+        )
 
     # ---- stop-condition plumbing (pre-filter observation) -----------------
     stop_time = filter_kwargs.get("stop_time")
@@ -208,6 +259,39 @@ def start_ingest(
         "batches": 0,
     }
 
+    # ---- DDL-evolution state (see docstring) -------------------------------
+    evo_meta_path = os.path.join(table.path, "_schema_meta.json")
+    evo_state: dict[str, Any] = {"meta": table_meta, "applied_seq": None}
+    if evolve_from_ddl and os.path.exists(evo_meta_path):
+        with open(evo_meta_path) as f:
+            saved = json.load(f)
+        from bingo2sql_spark.schema import TableMeta as _TM
+
+        saved_meta = _TM.from_dict(saved["meta"])
+        if (saved_meta.db.lower(), saved_meta.table.lower()) != (
+            table_meta.db.lower(), table_meta.table.lower()
+        ):
+            raise ValueError(
+                f"{evo_meta_path} belongs to {saved_meta.db}.{saved_meta.table}, "
+                f"not {table_meta.db}.{table_meta.table}"
+            )
+        if saved_meta.schema_ver >= table_meta.schema_ver:
+            # resume from the persisted post-DDL schema; the seq cursor
+            # makes re-delivered DDL idempotent
+            evo_state = {"meta": saved_meta, "applied_seq": saved.get("applied_seq")}
+
+    def _persist_evo() -> None:
+        tmp = evo_meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "meta": evo_state["meta"].to_dict(),
+                    "applied_seq": evo_state["applied_seq"],
+                },
+                f,
+            )
+        os.replace(tmp, evo_meta_path)
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # NOTE: once foreachBatch RETURNS, Spark acknowledges the epoch in
         # the checkpoint — an early "skip" here would mark unprocessed
@@ -222,15 +306,58 @@ def start_ingest(
             # columns only — the payload never leaves the scan)
             g = batch_df.agg(*gate_exprs).collect()[0]
         batch_df = FL.apply_filters(batch_df, **filter_kwargs)
+        plan = None
+        if evolve_from_ddl:
+            # the batch's DDL timeline, resolved against the EVOLVING
+            # registry entry; the seq cursor skips rows an earlier
+            # attempt already applied (re-delivered epochs)
+            from bingo2sql_spark.pipeline import collect_ddl_rows, plan_ddl_evolution
+
+            plan = plan_ddl_evolution(
+                collect_ddl_rows(batch_df),
+                evo_state["meta"],
+                min_ddl_seq=evo_state["applied_seq"],
+            )
+            if validate_stored and plan.type_checks and table.latest_manifest():
+                # opt-in MODIFY/CHANGE conformance scan (VERDICT r7 #4):
+                # reject the batch like MySQL rejects an ALTER over
+                # nonconforming rows; the raise fails the query LOUDLY
+                # before the epoch commits, so a fixed registry/stream
+                # can resume from the same checkpoint
+                from bingo2sql_spark import ddl as DL
+
+                DL.validate_stored_values(
+                    table.read(batch_df.sparkSession),
+                    plan.type_checks,
+                    S.MERGE_KEYS,
+                )
         batch_df = batch_df.filter(F.col("op") != S.OP_DDL)
         # LWW happens inside the table's merge groupBy (apply.py)
         keyed = R.with_key(batch_df)
-        if row_image == "MINIMAL":
-            upserts = R.to_upsert_rows_partial(keyed, schema_ver=schema_ver)
-        else:
-            upserts = R.to_upsert_rows(keyed, schema_ver=schema_ver)
-        m = table.commit(upserts, batch_id=f"stream-{_query_scope()}-{epoch_id}")
+        from bingo2sql_spark.pipeline import project_upserts
+
+        upserts = project_upserts(
+            keyed, row_image=row_image, schema_ver=schema_ver, plan=plan
+        )
+        m = table.commit(
+            upserts,
+            batch_id=f"stream-{_query_scope()}-{epoch_id}",
+            drop_columns=(plan.drop_columns if plan else None) or None,
+            rename_columns=(plan.rename_columns if plan else None) or None,
+        )
         m["epoch_id"] = epoch_id
+        if plan is not None:
+            # persist the evolved registry entry AFTER the commit is
+            # durable (or dedup-skipped — the manifest already reflects
+            # the DDL then); crash before this point re-derives the
+            # same plan from the re-delivered epoch
+            evo_state["meta"] = plan.meta
+            if plan.applied_ddl_seq is not None:
+                evo_state["applied_seq"] = max(
+                    plan.applied_ddl_seq, evo_state["applied_seq"] or 0
+                )
+            m["schema_ver"] = plan.meta.schema_ver
+            _persist_evo()
         gate_state["rows"] += int(m.get("rows_in_batch") or 0)
         if on_commit is not None:
             # post-commit hook (e.g. dedup.SignatureStore.refresh — the

@@ -535,3 +535,169 @@ def test_stream_election_crossover_mid_stream(spark, small_events, tmp_path):
     assert table.state_checksum(spark) == oracle.state_checksum(
         oracle.sequential_apply(pdf)
     )
+
+
+def _stream_evo_schema():
+    """Envelope + statement whose payload carries both spellings of the
+    renamed column plus the ADDed column (producers race DDL mid-tail)."""
+    import pyspark.sql.types as T
+
+    payload = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("stars", T.LongType()),
+        T.StructField("content", T.StringType()),
+    ])
+    return T.StructType([
+        T.StructField("seq", T.LongType()),
+        T.StructField("log_file", T.StringType()),
+        T.StructField("log_pos", T.LongType()),
+        T.StructField("gtid_uuid", T.StringType()),
+        T.StructField("gno", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("thread_id", T.LongType()),
+        T.StructField("db", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("before", payload),
+        T.StructField("after", payload),
+        T.StructField("changed_cols", T.ArrayType(T.StringType())),
+        T.StructField("schema_ver", T.IntegerType()),
+        T.StructField("statement", T.StringType()),
+    ])
+
+
+def _stream_evo_row(seq, op, key, commit=None, lang=None, language=None,
+                    stars=None, content=None, stmt=None):
+    import datetime
+
+    after = None if op in ("delete", "ddl") else {
+        "repo": "r1", "path": key, "commit": commit, "lang": lang,
+        "language": language, "stars": stars, "content": content,
+    }
+    before = None if op in ("insert", "ddl") else {
+        "repo": "r1", "path": key, "commit": "c0", "lang": "x",
+        "language": None, "stars": None, "content": "x",
+    }
+    return (seq, "bin.1", seq, None, None, datetime.datetime(2024, 1, 1), 1,
+            "test", "repo_files", op, before, after, None, 1, stmt)
+
+
+def _stream_evo_meta():
+    from bingo2sql_spark import ddl as DL
+
+    return DL.parse_schema_text(
+        "CREATE TABLE test.repo_files (repo varchar(64), path varchar(255), "
+        "commit varchar(40), lang varchar(16), content text, "
+        "PRIMARY KEY (repo, path))"
+    )["test.repo_files"]
+
+
+def test_stream_ingest_evolves_from_ddl(spark, tmp_path):
+    """VERDICT r7 #2 e2e: ALTER TABLE ADD + CHANGE arriving MID-TAIL in
+    a continuous ingest evolve the target schema inside foreachBatch —
+    including a checkpoint restart BETWEEN the two ALTERs where the
+    caller still passes the ORIGINAL registry entry (the persisted
+    `_schema_meta.json` must win). Final state ≡ the one-shot batch
+    replay differential ≡ an explicit dict oracle. The reference
+    applies DDL inline in its live loop (core/parser.go:2314-2339)."""
+    schema = _stream_evo_schema()
+    meta = _stream_evo_meta()
+    keys = [f"f{i}" for i in range(6)]
+
+    phase_a = [
+        _stream_evo_row(i + 1, "insert", k, commit=f"c{i}", lang=f"L{i}",
+                        content=f"v{i}")
+        for i, k in enumerate(keys)
+    ]
+    phase_b = [
+        # pre-ALTER wire update
+        _stream_evo_row(50, "update", "f0", commit="c50", lang="pre",
+                        content="v0b"),
+        _stream_evo_row(100, "ddl", None,
+                        stmt="ALTER TABLE test.repo_files ADD COLUMN stars bigint"),
+        # post-ADD wire update carries the new column
+        _stream_evo_row(101, "update", "f1", commit="c51", lang="L1",
+                        stars=7, content="v1b"),
+    ]
+    phase_c = [
+        _stream_evo_row(200, "ddl", None,
+                        stmt="ALTER TABLE test.repo_files CHANGE lang "
+                             "language varchar(64)"),
+        # post-rename wire update: NEW spelling only
+        _stream_evo_row(201, "update", "f2", commit="c52", language="post",
+                        stars=9, content="v2b"),
+    ]
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+
+    def _land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(tmp_path / name))
+        for f in os.listdir(str(tmp_path / name)):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / name / f),
+                            os.path.join(land, f"{name}-{f}"))
+
+    _land(phase_a, "a")
+    _land(phase_b, "b")
+
+    table = IcebergLiteTable(str(tmp_path / "target"), n_buckets=4)
+    q = start_ingest(
+        spark, land, table, ckpt, max_files_per_trigger=1,
+        evolve_from_ddl=True, table_meta=meta, source_schema=schema,
+    )
+    q.awaitTermination(180)
+
+    mid = table.read(spark)
+    assert "stars" in mid.columns and "language" not in mid.columns
+    got_mid = {r["path"]: (r["lang"], r["stars"]) for r in mid.collect()}
+    # evolved tables store values as text (ddl-layer convention)
+    assert got_mid["f1"] == ("L1", "7") and got_mid["f0"] == ("pre", None)
+
+    # restart from the checkpoint with the ORIGINAL meta: the persisted
+    # evolved registry entry must take precedence, and phase C's rename
+    # must apply on top of it
+    _land(phase_c, "c")
+    q2 = start_ingest(
+        spark, land, table, ckpt, max_files_per_trigger=1,
+        evolve_from_ddl=True, table_meta=meta, source_schema=schema,
+    )
+    q2.awaitTermination(180)
+
+    cur = table.read(spark)
+    assert "language" in cur.columns and "lang" not in cur.columns
+    got = {r["path"]: (r["language"], r["stars"], r["content"])
+           for r in cur.collect()}
+    expect = {k: (f"L{i}", None, f"v{i}") for i, k in enumerate(keys)}
+    expect["f0"] = ("pre", None, "v0b")
+    expect["f1"] = ("L1", "7", "v1b")
+    expect["f2"] = ("post", "9", "v2b")
+    assert got == expect
+
+    # exactly-once: a drained restart commits nothing new
+    v = table.latest_manifest()["version"]
+    q3 = start_ingest(
+        spark, land, table, ckpt, max_files_per_trigger=1,
+        evolve_from_ddl=True, table_meta=meta, source_schema=schema,
+    )
+    q3.awaitTermination(180)
+    assert table.latest_manifest()["version"] == v
+
+    # differential: the one-shot batch replay of the SAME log over a
+    # fresh table lands on the identical final state
+    from bingo2sql_spark.pipeline import replay
+
+    all_events = spark.createDataFrame(phase_a + phase_b + phase_c, schema)
+    control = IcebergLiteTable(str(tmp_path / "control"), n_buckets=4)
+    replay(all_events, control, batch_id="all", table_meta=_stream_evo_meta(),
+           evolve_from_ddl=True)
+    ctl = {r["path"]: (r["language"], r["stars"], r["content"])
+           for r in control.read(spark).collect()}
+    assert ctl == got
+    assert table.state_checksum(spark) == control.state_checksum(spark)
