@@ -2027,3 +2027,90 @@ def test_modify_validate_stored_conformance(spark, tmp_path):
         schema)
     replay(widen_then_fit, t_len, batch_id="b2", table_meta=meta,
            evolve_from_ddl=True, validate_stored=True)
+
+
+def test_alias_chain_folds_on_all_bucket_rewrite(spark, tmp_path):
+    """VERDICT r7 #5: N sequential renames grow the manifest alias map
+    (and thus the read projection's coalesce) — but any COW commit that
+    happens to rewrite EVERY live bucket already lands all data files
+    under current names, so the aliases fold to {} right there, without
+    waiting for compact(). Time travel still serves old names from old
+    snapshots' own manifests."""
+    meta = _evo_meta()
+    keys = [f"f{i}" for i in range(8)]
+    t = IcebergLiteTable(str(tmp_path / "fold"), n_buckets=4)
+    events1 = spark.createDataFrame(
+        [_evo_row(i + 1, "insert", k, commit=f"c{i}", lang=f"L{i}",
+                  content=f"v{i}") for i, k in enumerate(keys)],
+        _evo_schema(),
+    )
+    m1 = replay(events1, t, batch_id="b1", table_meta=meta, evolve_from_ddl=True)
+
+    from bingo2sql_spark import ddl as DL
+
+    # two sequential renames, each batch touching ONE key (one bucket):
+    # aliases must accumulate a 2-deep chain for the renamed column
+    cur_meta = meta
+    stmts = [
+        "ALTER TABLE test.repo_files CHANGE lang lang2 varchar(64)",
+        "ALTER TABLE test.repo_files CHANGE lang2 lang3 varchar(64)",
+    ]
+    wire = ["lang2", "lang3"]
+    for i, stmt in enumerate(stmts):
+        ev = spark.createDataFrame([
+            _evo_row(100 * (i + 1), "ddl", None, stmt=stmt),
+            # post-rename update under the new spelling, single key
+            _evo_row(100 * (i + 1) + 1, "update", "f0", commit=f"r{i}",
+                     language=None, lang=None, content=f"w{i}"),
+        ], _evo_schema())
+        replay(ev, t, batch_id=f"ren{i}", table_meta=cur_meta,
+               evolve_from_ddl=True)
+        cur_meta = DL.apply_alter(
+            cur_meta, DL.parse_alter_table(stmt, default_db="test")[2])
+    man = t.latest_manifest()
+    assert man["aliases"] == {"lang3": ["lang2", "lang"]}  # chain grows
+
+    # a batch updating ONE key per live bucket rewrites every bucket ->
+    # fold. The UNtouched keys in each bucket are the real test: their
+    # merged rows are carried through the alias coalesce and written
+    # under the current name, so folding must not lose them.
+    from bingo2sql_spark.operators.apply import bucket_col
+
+    bmap = {
+        r["path"]: r["b"]
+        for r in spark.createDataFrame(
+            [("r1", k) for k in keys], "repo string, path string"
+        ).select("path", bucket_col(4).alias("b")).collect()
+    }
+    reps = {}
+    for k in keys:  # one representative key per live bucket, f0 preferred
+        reps.setdefault(bmap[k], k)
+    reps[bmap["f0"]] = "f0"
+    events2 = spark.createDataFrame(
+        [_evo_row(500 + i, "update", k, commit=f"d{i}", content=f"x{k}")
+         for i, k in enumerate(sorted(reps.values()))],
+        _evo_schema(),
+    )
+    m2 = replay(events2, t, batch_id="full", table_meta=cur_meta,
+                evolve_from_ddl=True)
+    man2 = t.latest_manifest()
+    assert m2["buckets_rewritten"] == len(man2["buckets"])
+    assert man2["aliases"] == {}  # folded without compact()
+
+    # carried values survived the fold under the final name; rep keys
+    # took the batch's FULL image (whose wire lacks lang3 -> NULL)
+    got = {r["path"]: (r["lang3"], r["content"])
+           for r in t.read(spark).collect()}
+    touched = set(reps.values())
+    assert got == {
+        k: (None, f"x{k}") if k in touched
+        else (f"L{i}", f"v{i}")
+        for i, k in enumerate(keys)
+    }
+
+    # time travel to the pre-fold snapshot still coalesces via aliases
+    pre = t.read(spark, version=m1["snapshot"])
+    assert "lang" in pre.columns
+    assert {r["path"]: r["lang"] for r in pre.collect()} == {
+        k: f"L{i}" for i, k in enumerate(keys)
+    }
