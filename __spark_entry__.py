@@ -517,6 +517,64 @@ def _q_decoration(spark, sf_dir):
     return RD.decorate(rendered).select("seq", "gtid_comment", "time_comment")
 
 
+def _q_binlog_binary_decode(spark, sf_dir):
+    """S2 upgraded — REAL binlog v4 file bytes through the engine: the
+    `events` rows are encoded into two rotated CRC32-checksummed binlog
+    files (deterministic fixture synthesis — the sandbox has no mysqld,
+    mirroring how the reference's CI produces binlogs by running DML,
+    SURVEY.md §5), then decoded back by the distributed binaryFile →
+    mapInPandas parser (sources/binlog_binary.py) and compared against
+    the parquet the bytes came from. The driver-side collect is the
+    fixture ENCODER only (bounded ≤20k rows); the decode under test is
+    fully distributed."""
+    import os
+    import tempfile
+
+    from bingo2sql_spark.sources.binlog_binary import (
+        BinlogWriter, T_DOUBLE, T_LONGLONG, T_VARCHAR, binlog_raw_events,
+    )
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 20000)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    types = [T_LONGLONG, T_LONGLONG, T_VARCHAR, T_DOUBLE]
+    meta = [0, 0, 200, 8]
+    d = tempfile.mkdtemp(prefix="binlog_gate_")
+    half = (len(rows) + 1) // 2
+    for fi, chunk in enumerate((rows[:half], rows[half:]), start=1):
+        w = BinlogWriter(checksum=True)
+        w.gtid(SERVER_UUIDS[0], fi, ts=1704067200)
+        w.query("BEGIN", db="test", thread_id=1, ts=1704067200)
+        w.table_map("test", "events", types, meta, ts=1704067200)
+        for i in range(0, len(chunk), 1000):
+            w.rows(
+                "test", "events", "insert", types, meta,
+                [[r["event_id"], r["user_id"], r["event_type"],
+                  float(r["value"])] for r in chunk[i : i + 1000]],
+                ts=1704067200,
+            )
+        w.xid(fi, ts=1704067200)
+        with open(os.path.join(d, f"mysql-bin.{fi:06d}"), "wb") as f:
+            f.write(w.bytes())
+    raw = binlog_raw_events(
+        spark, d,
+        table_schemas={"test.events": ["event_id", "user_id", "event_type", "value"]},
+    )
+    img = F.from_json(
+        "after_json",
+        "struct<event_id:long,user_id:long,event_type:string,value:double>",
+    )
+    return (
+        raw.filter(F.col("op") == "insert")
+        .select(img.alias("r"))
+        .select("r.event_id", "r.user_id", "r.event_type", "r.value")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from bingo2sql_spark.operators import dedup as DD
 
@@ -1175,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_render_ddl": _q_render_ddl,
         "cdc_render_multi_insert": _q_render_multi_insert,
         "cdc_output_decoration": _q_decoration,
+        "cdc_binlog_binary_decode": _q_binlog_binary_decode,
         # --- LLM-pipeline operator gates ---
         "dedup_exact": _q_dedup_exact,
         "dedup_fingerprint": _q_dedup_fingerprint,
@@ -1204,7 +1263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- generic relational / streaming demos (truncation-safe tail) ---
         "agg_pricing_summary": _q_agg_pricing_summary,
         "events_sessionize": _q_sessionize,
-        "events_windowed_counts": _q_windowed_counts,
         "events_topk_per_user": _q_topk_per_user,
         "join_revenue_by_nation": _q_join_relational,
     }
@@ -1217,12 +1275,15 @@ def pytest_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]
       incremental gates' oracles recompute the SAME signatures from
       scratch in SQL, so the signature operators stay SQL-gated.
     - the two standalone join demos: folded into the combined
-      join_revenue_by_nation gate."""
+      join_revenue_by_nation gate.
+    - events_windowed_counts: generic demo ceded its gate slot to the
+      cdc_binlog_binary_decode operator gate (round 8)."""
     return {
         "dedup_minhash_signature": _q_minhash_signature,
         "dedup_simhash": _q_simhash,
         "join_revenue_by_nation_solo": _q_join_revenue_by_nation,
         "join_semi_anti_segments": _q_semi_anti_join,
+        "events_windowed_counts": _q_windowed_counts,
     }
 
 
@@ -1992,11 +2053,9 @@ s AS (SELECT user_id, event_id,
 SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """
-    q["events_windowed_counts"] = """
-SELECT (epoch_us(ts)//1000000//21600)*21600 AS window_start, event_type,
-       count(*) AS n,
-       cast(round(sum(cast(value AS decimal(18,2))), 2) AS double) AS total_value
-FROM events GROUP BY 1, 2
+    q["cdc_binlog_binary_decode"] = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id < 20000
 """
     q["events_topk_per_user"] = """
 SELECT user_id, event_id, value, rank FROM (
@@ -2019,6 +2078,12 @@ def pytest_only_oracle_sql() -> dict[str, str]:
     oracle_sql(), run only by tests/test_oracle_parity (these queries
     were retired from the driver's capped 50-row gate set)."""
     q = {}
+    q["events_windowed_counts"] = """
+SELECT (epoch_us(ts)//1000000//21600)*21600 AS window_start, event_type,
+       count(*) AS n,
+       cast(round(sum(cast(value AS decimal(18,2))), 2) AS double) AS total_value
+FROM events GROUP BY 1, 2
+"""
     q["dedup_minhash_signature"] = f"""
 SELECT doc_id,
        list_min(list_transform(_sh, s -> md5('0:' || s))) AS mh0,

@@ -24,9 +24,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True, help="output directory for SQL parts")
     p.add_argument(
         "--input-format",
-        choices=("envelope_parquet", "raw_typed_parquet", "raw_json_parquet", "raw_jsonl"),
+        choices=("envelope_parquet", "raw_typed_parquet", "raw_json_parquet",
+                 "raw_jsonl", "binlog"),
         default="envelope_parquet",
-        help="landing format: decoded envelopes, typed wire, JSON wire, JSON-lines",
+        help="landing format: decoded envelopes, typed wire, JSON wire, "
+             "JSON-lines, or raw MySQL binlog v4 files (binary decode; "
+             "column names resolve via --table-schema)",
     )
     # F1-F8 gates (reference flag names, cmd/root.go)
     p.add_argument("--start-time", default=None)
@@ -73,7 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_events(spark, args):
+def _load_events(spark, args, table_schema=None):
     from bingo2sql_spark.sources.decode import decode_events, decode_events_typed
     from bingo2sql_spark.sources.layout import read_raw_jsonl
 
@@ -83,6 +86,29 @@ def _load_events(spark, args):
         return decode_events_typed(spark.read.parquet(args.input))
     if args.input_format == "raw_json_parquet":
         return decode_events(spark.read.parquet(args.input))
+    if args.input_format == "binlog":
+        # S2 — the reference's primary input: actual binlog v4 file
+        # bytes (core/parseFile.go:16-179). Column names come from the
+        # schema file, like the reference's local mode (-t schema.sql,
+        # core/parser.go:794-815); tables not in it decode positionally
+        # (@1..@N) and are normally excluded via -t/-d gates.
+        from bingo2sql_spark import ddl as DL
+        from bingo2sql_spark.sources.binlog_binary import (
+            binlog_raw_events, payload_schema_from,
+        )
+
+        names = None
+        if table_schema:
+            with open(table_schema) as f:
+                reg = DL.parse_schema_text(f.read())
+            names = {
+                key: [c.name for c in meta.columns]
+                for key, meta in reg.items()
+            }
+        return decode_events(
+            binlog_raw_events(spark, args.input, names),
+            payload=payload_schema_from(names),
+        )
     raw = read_raw_jsonl(spark, args.input)
     return decode_events(raw.drop("_corrupt_record"))
 
@@ -203,7 +229,7 @@ def main(argv: list[str] | None = None) -> int:
         table_schema, tables = tables[0], None
 
     spark = get_spark("bingo2sql-cli", master=args.master)
-    events = _load_events(spark, args)
+    events = _load_events(spark, args, table_schema)
     generate_sql(
         events,
         args.output,

@@ -1,1 +1,6 @@
+from bingo2sql_spark.sources.binlog_binary import (  # noqa: F401
+    BinlogWriter,
+    binlog_raw_events,
+    parse_binlog_bytes,
+)
 from bingo2sql_spark.sources.synth import generate_events, to_raw  # noqa: F401

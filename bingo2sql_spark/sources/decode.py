@@ -44,6 +44,7 @@ def decode_events(
     schema_ver: int = S.LATEST_SCHEMA_VER,
     before_fields: list[str] | None = None,
     on_corrupt: str = "fail",
+    payload: "T.StructType | None" = None,
 ) -> DataFrame:
     """JVM decode: JSON images -> typed structs of the requested schema
     version (missing fields -> NULL, extra fields ignored = dropped).
@@ -67,7 +68,12 @@ def decode_events(
     filter corrupt rows themselves."""
     if on_corrupt not in ("fail", "keep"):
         raise ValueError(f"on_corrupt must be 'fail' or 'keep', got {on_corrupt!r}")
-    payload = S.payload_schema(schema_ver)
+    # `payload` override: decode against a caller-provided image struct
+    # instead of the registry version — the binlog landing's schema is
+    # whatever the source tables declare (incl. DDL-added columns), not
+    # this engine's demo registry
+    if payload is None:
+        payload = S.payload_schema(schema_ver)
     before_schema = payload
     if before_fields is not None:
         from pyspark.sql import types as T
@@ -86,6 +92,10 @@ def decode_events(
         img("after_json", payload).alias("after"),
         "changed_cols",
         "schema_ver",
+        # op='ddl' Query events ride along when the wire carries them
+        # (binlog_binary / synth DDL streams) — render/pipeline consume
+        # the column by presence
+        *(["statement"] if "statement" in raw.columns else []),
     )
 
 
@@ -152,6 +162,7 @@ def decode_events_typed(
         align("after", payload).alias("after"),
         "changed_cols",
         "schema_ver",
+        *(["statement"] if "statement" in raw.columns else []),
     )
 
 

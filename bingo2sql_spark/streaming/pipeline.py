@@ -88,6 +88,7 @@ def start_ingest(
     evolve_from_ddl: bool = False,
     validate_stored: bool = False,
     source_schema: Any = None,
+    table_schemas: dict[str, list[str]] | None = None,
     **filter_kwargs: Any,
 ) -> StreamingQuery:
     """Launch the ingest query. availableNow=True drains the current
@@ -154,13 +155,34 @@ def start_ingest(
     if evolve_from_ddl:
         if table_meta is None:
             raise ValueError("evolve_from_ddl=True requires table_meta")
-        if source_format != "envelope_parquet":
+        if source_format not in ("envelope_parquet", "binlog"):
             raise NotImplementedError(
-                "evolve_from_ddl needs the envelope landing (op='ddl' rows "
-                f"carry `statement` there); {source_format!r} does not"
+                "evolve_from_ddl needs a landing that carries op='ddl' "
+                f"`statement` rows (envelope_parquet or binlog); "
+                f"{source_format!r} does not"
             )
         filter_kwargs.setdefault("include_ddl", True)
-    if source_format == "raw_jsonl":
+    if source_format == "binlog":
+        # S1 over rotating binlog FILES: tail a directory of real
+        # binlog v4 bytes (file order = rotation order); each new file
+        # decodes in one task. DDL statements ride the envelope, so
+        # evolve_from_ddl composes.
+        from bingo2sql_spark.sources.binlog_binary import (
+            decode_binlog_df, payload_schema_from,
+        )
+        from bingo2sql_spark.sources.decode import decode_events
+
+        reader = spark.readStream.format("binaryFile").schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        raw = decode_binlog_df(reader.load(events_dir), table_schemas)
+        stream = decode_events(
+            raw, schema_ver=schema_ver,
+            payload=payload_schema_from(table_schemas),
+        )
+    elif source_format == "raw_jsonl":
         from bingo2sql_spark.sources.decode import decode_events
         from bingo2sql_spark.sources.layout import stream_raw_jsonl
 

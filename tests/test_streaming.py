@@ -701,3 +701,165 @@ def test_stream_ingest_evolves_from_ddl(spark, tmp_path):
            for r in control.read(spark).collect()}
     assert ctl == got
     assert table.state_checksum(spark) == control.state_checksum(spark)
+
+
+def test_stream_curation_ivf_kill_resume(spark, small_events, tmp_path):
+    """VERDICT r7 #7 — the composed continuous-curation loop, one test:
+    a streaming ingest's on_commit hook drives (a) SignatureStore.refresh
+    (embedding family), (b) incremental IVF cell maintenance
+    (update_ivf_assignments over the commit's changelog window), and
+    (c) the cell-balance retrain trigger — with the query killed
+    mid-stream (self-stop on max rows) and resumed from its checkpoint.
+
+    The IVF window chains off the ASSIGNMENT pointer, not refresh()'s
+    from/to: a crash after refresh but before the assignment write makes
+    the next hook call see refresh()=skipped while the pointer still
+    lags, and the maintenance catches up from the pointer — the same
+    write-then-point recoverability contract the store itself uses.
+
+    Final invariants: signatures == full recompute over the final table;
+    maintained assignments == a full ivf_assign_cells of the final
+    signatures under the fixed quantizer; the retrain trigger was
+    consulted on every commit, and tripping it retrains + full-reassigns
+    consistently."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from bingo2sql_spark.operators import dedup as DD
+    from bingo2sql_spark.operators import similarity as SIM
+
+    KEYS = ["repo", "path"]
+    N_CENTS = 8
+
+    def cents_from(sigs, n):
+        # deterministic quantizer: first n signature rows in key order
+        # (metadata-scale; a real deployment calls train_centroids)
+        w = Window.orderBy(*KEYS)
+        return (
+            sigs.withColumn("vec_id", F.row_number().over(w) - 1)
+            .filter(F.col("vec_id") < n)
+            .select("vec_id", "embedding")
+        )
+
+    land, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    _land_sequential(small_events, land, n_files=8)
+    table = IcebergLiteTable(str(tmp_path / "t"), n_buckets=8)
+    store = DD.SignatureStore(
+        str(tmp_path / "sigs"), KEYS, family="embedding", dim=16
+    )
+    cent_dir = str(tmp_path / "cents")
+    assign_root = str(tmp_path / "assign")
+    ptr_path = str(tmp_path / "assign_ptr.json")
+    os.makedirs(assign_root, exist_ok=True)
+    modes, retrain_consulted = [], []
+
+    def _assign_dir(v):
+        return os.path.join(assign_root, f"v{v:012d}")
+
+    def hook(tbl, metrics):
+        modes.append(store.refresh(spark, tbl)["mode"])
+        cur = int(tbl.latest_manifest()["version"])
+        ptr = None
+        if os.path.exists(ptr_path):
+            with open(ptr_path) as f:
+                ptr = int(_json.load(f)["version"])
+        if ptr == cur:
+            return
+        sigs = store.read(spark)
+        if ptr is None:
+            cents_from(sigs, N_CENTS).write.mode("overwrite").parquet(cent_dir)
+            cents = spark.read.parquet(cent_dir)
+            assign = SIM.ivf_assign_cells(
+                sigs, cents, id_cols=KEYS, vec_col="embedding",
+                centroid_id_col="vec_id",
+            )
+        else:
+            cents = spark.read.parquet(cent_dir)
+            ch = tbl.changes_between(spark, ptr, cur)
+            changed = (
+                ch.select(*KEYS, (F.col("op") == "delete").alias("_gone"))
+                .join(sigs, KEYS, "left")
+                .select(*KEYS, "embedding", "_gone")
+            )
+            assign = SIM.update_ivf_assignments(
+                spark.read.parquet(_assign_dir(ptr)), changed, cents,
+                id_cols=KEYS, vec_col="embedding",
+                centroid_id_col="vec_id", deleted_col="_gone",
+            )
+        assign.write.mode("overwrite").parquet(_assign_dir(cur))
+        retrain_consulted.append(SIM.ivf_needs_retrain(
+            spark.read.parquet(_assign_dir(cur)), N_CENTS,
+            max_skew=1e9, max_empty_frac=1.0,  # consulted; never trips here
+        ))
+        tmp = ptr_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"version": cur}, f)
+        os.replace(tmp, ptr_path)
+
+    # phase 1: continuous tail, killed mid-log by the row cap
+    q = start_ingest(
+        spark, land, table, ckpt,
+        available_now=False, processing_time="1 second",
+        max_files_per_trigger=1, stop_poll_secs=0.3,
+        stop_max_rows=300, on_commit=hook,
+    )
+    assert q.awaitTermination(300), "did not stop on max rows"
+    mid_commits = len([m for m in read_metrics(table) if not m.get("skipped")])
+    assert mid_commits >= 1 and modes[:1] == ["bootstrap"]
+
+    # phase 2: resume the SAME checkpoint; drain the rest exactly-once
+    q2 = start_ingest(spark, land, table, ckpt, max_files_per_trigger=2,
+                      on_commit=hook)
+    q2.awaitTermination(300)
+    n_commits = len([m for m in read_metrics(table) if not m.get("skipped")])
+    assert n_commits > mid_commits
+    assert "incremental" in modes  # the resume took the changelog path
+    assert len(retrain_consulted) == n_commits and not any(retrain_consulted)
+
+    # signatures converged: store == full recompute of the final state
+    final = table.read(spark)
+    cols = KEYS + ["embedding"]
+    got_sigs = {tuple(map(str, r)) for r in store.read(spark).select(*cols).collect()}
+    want_sigs = {
+        tuple(map(str, r))
+        for r in DD.embedding_signature_keyed(
+            final, KEYS, text_col="content", dim=16
+        ).select(*cols).collect()
+    }
+    assert got_sigs == want_sigs and got_sigs
+
+    # maintained assignments == full re-assign under the fixed quantizer
+    with open(ptr_path) as f:
+        ptr = int(_json.load(f)["version"])
+    assert ptr == int(table.latest_manifest()["version"])
+    cents = spark.read.parquet(cent_dir)
+    maintained = spark.read.parquet(_assign_dir(ptr))
+    full = SIM.ivf_assign_cells(
+        store.read(spark), cents, id_cols=KEYS, vec_col="embedding",
+        centroid_id_col="vec_id",
+    )
+    a = {(r["repo"], r["path"], r["_cell"]) for r in maintained.collect()}
+    b = {(r["repo"], r["path"], r["_cell"]) for r in full.collect()}
+    assert a == b and a
+
+    # the probe cache serves the store's final version (hot path)
+    assert store.probes(spark).count() > 0
+
+    # tripping the trigger retrains: threshold just under the measured
+    # skew -> True; the documented recipe (new quantizer over current
+    # sigs + one full assign) covers every live key under the new cells
+    bal = SIM.ivf_cell_balance(maintained, N_CENTS)
+    assert SIM.ivf_needs_retrain(maintained, N_CENTS, max_skew=bal["skew"] - 1e-6)
+    cents2 = cents_from(store.read(spark), 2 * N_CENTS)
+    reassigned = SIM.ivf_assign_cells(
+        store.read(spark), cents2, id_cols=KEYS, vec_col="embedding",
+        centroid_id_col="vec_id",
+    )
+    assert reassigned.count() == len(a)
+    cent_ids = {r["vec_id"] for r in cents2.collect()}
+    assert {r["_cell"] for r in reassigned.collect()} <= cent_ids
+
+    # hook idempotence at head: refresh skips, pointer already current
+    assert store.refresh(spark, table)["mode"] == "skipped"
