@@ -86,11 +86,20 @@ replay(decode(raw.filter("seq % 50 = 0"), before_fields=KEYS), warm, batch_id="w
 # "auto" carries the measured single-host crossover floor (~10M
 # candidate rows, BENCH/BASELINE.md round-6): below it the full plan
 # wins on tmpfs, above it the election's byte cut pays locally too
+# pass the r8 merge knobs only where the tree under test knows them —
+# ab_check runs this same template against a PREVIOUS round's checkout
+import inspect
+_params = inspect.signature(IcebergLiteTable.__init__).parameters
+_kw = {{}}
+if "merge_impl" in _params:
+    _kw.update(merge_impl=merge_impl,
+               merge_rows_per_task=rows_per_task or None,
+               merge_tasks_per_core=tasks_per_core)
+elif merge_impl != "hash" or rows_per_task or tasks_per_core != 4:
+    raise SystemExit("tree under test lacks the r8 merge knobs")
 t = IcebergLiteTable(tmp + "/tgt", n_buckets=64, merge_strategy=strategy,
                      election_min_rows=10_000_000 if strategy == "auto" else 0,
-                     merge_impl=merge_impl,
-                     merge_rows_per_task=rows_per_task or None,
-                     merge_tasks_per_core=tasks_per_core)
+                     **_kw)
 t0 = time.time()
 replay(decode(raw, before_fields=KEYS), t, batch_id="b", tables=["repo_files"])
 secs = time.time() - t0
