@@ -392,53 +392,63 @@ def _decode_image(
 # event stream
 
 
-def parse_binlog_bytes(
-    data: bytes,
-    *,
-    log_file: str = "binlog",
-    file_ordinal: int | None = None,
-    names_for: dict[str, list[str]] | None = None,
-    schema_ver: int = 2,
-) -> Iterator[dict]:
-    """Parse one binlog file's bytes into raw-event envelope dicts
-    (RAW_EVENT columns + `statement`, images as JSON strings).
+class BinlogEventParser:
+    """Stateful binlog v4 EVENT decoder — feed one whole event
+    (header + body) at a time, get envelope rows back. Shared by the
+    file scan (parse_binlog_bytes slices a file into events) and the
+    replication-protocol client (repl_client feeds each network packet's
+    event payload), exactly the split the reference's tailer library
+    has between its file and syncer front-ends.
+
+    State carried across events: checksum algorithm (from the FDE),
+    table-id -> TABLE_MAP cache, current GTID pair, current thread id
+    (from the transaction's BEGIN Query event), and the current log
+    file name/ordinal (updated by ROTATE events on the network path).
 
     seq is `(file_ordinal << 44) | (event start offset << 12) | row
     index` — globally monotone across a rotated file sequence (binlog
     files are capped at 1 GiB < 2^32 offsets; 4096 rows per event; 2^19
-    files); `file_ordinal` defaults to the numeric suffix of `log_file`
+    files); the ordinal defaults to the numeric suffix of the file name
     (mysql-bin.000007 -> 7). log_pos is the event START offset,
     mysqlbinlog's "# at N" convention."""
-    if data[:4] != BINLOG_MAGIC:
-        raise BinlogFormatError("bad binlog magic (not a binlog v4 file)")
-    if file_ordinal is None:
+
+    def __init__(
+        self,
+        log_file: str = "binlog",
+        file_ordinal: int | None = None,
+        names_for: dict[str, list[str]] | None = None,
+        schema_ver: int = 2,
+    ):
+        self.names_for = {k.lower(): v for k, v in (names_for or {}).items()}
+        self.schema_ver = schema_ver
+        self.checksummed = False
+        self.table_maps: dict[int, _TableMap] = {}
+        self.gtid_uuid: str | None = None
+        self.gno: int | None = None
+        self.thread_id: int | None = None
+        self.set_log_file(log_file, file_ordinal)
+
+    @staticmethod
+    def _ordinal(log_file: str) -> int:
         digits = "".join(ch for ch in log_file.rsplit(".", 1)[-1] if ch.isdigit())
-        file_ordinal = int(digits) if digits else 0
-    seq_base = file_ordinal << 44
-    names_for = names_for or {}
+        return int(digits) if digits else 0
 
-    checksummed = False
-    table_maps: dict[int, _TableMap] = {}
-    gtid_uuid: str | None = None
-    gno: int | None = None
-    thread_id: int | None = None
+    def set_log_file(self, log_file: str, file_ordinal: int | None = None) -> None:
+        self.log_file = log_file
+        self.file_ordinal = (
+            self._ordinal(log_file) if file_ordinal is None else file_ordinal
+        )
+        self._seq_base = self.file_ordinal << 44
 
-    pos = 4
-    total = len(data)
-    while pos + _HEADER_LEN <= total:
-        ts = _u(data, pos, 4)
-        etype = data[pos + 4]
-        event_size = _u(data, pos + 9, 4)
-        if event_size < _HEADER_LEN or pos + event_size > total:
-            raise BinlogFormatError(
-                f"truncated event at offset {pos} (size {event_size})"
-            )
-        whole = data[pos : pos + event_size]
+    def feed(self, whole: bytes, start_off: int) -> list[dict]:
+        """Decode ONE event (19-byte header + body [+ CRC]) starting at
+        file offset `start_off`; returns the envelope rows it implies
+        (possibly none — metadata events mutate parser state only)."""
+        ts = _u(whole, 0, 4)
+        etype = whole[4]
         body = whole[_HEADER_LEN:]
-        if checksummed and etype != FORMAT_DESCRIPTION_EVENT:
+        if self.checksummed and etype != FORMAT_DESCRIPTION_EVENT:
             body = body[:-4]
-        start_off = pos
-        pos += event_size
         ev_ts = _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc)
 
         if etype == FORMAT_DESCRIPTION_EVENT:
@@ -456,26 +466,33 @@ def parse_binlog_bytes(
                 # verifying the CRC itself (both a 0 alg byte and a CRC
                 # byte can read 0).
                 tail_crc = _u(whole, len(whole) - 4, 4)
-                crc_checks = (
-                    len(whole) > 9
+                self.checksummed = (
+                    len(whole) > 23
                     and zlib.crc32(bytes(whole[:-4])) == tail_crc
                     and body[-5] == 1
                 )
-                checksummed = crc_checks
-            continue
+            return []
         if etype == GTID_LOG_EVENT:
             sid = body[1:17]
-            gtid_uuid = (
+            self.gtid_uuid = (
                 f"{sid[0:4].hex()}-{sid[4:6].hex()}-{sid[6:8].hex()}-"
                 f"{sid[8:10].hex()}-{sid[10:16].hex()}"
             )
-            gno = _u(body, 17, 8)
-            continue
+            self.gno = _u(body, 17, 8)
+            return []
         if etype == ANONYMOUS_GTID_EVENT:
-            gtid_uuid, gno = None, None
-            continue
+            self.gtid_uuid, self.gno = None, None
+            return []
+        if etype == ROTATE_EVENT:
+            # post-header: 8-byte next position, then next file name —
+            # the network stream's file switch (file scans never cross
+            # files, so this only matters on the tail path)
+            next_file = body[8:].decode("utf-8", "replace").rstrip("\x00")
+            if next_file:
+                self.set_log_file(next_file)
+            return []
         if etype == QUERY_EVENT:
-            thread_id = _u(body, 0, 4)
+            self.thread_id = _u(body, 0, 4)
             db_len = body[8]
             status_len = _u(body, 11, 2)
             off = 13 + status_len
@@ -484,7 +501,7 @@ def parse_binlog_bytes(
             sql = body[off:].decode("utf-8", "replace")
             stripped = sql.strip().rstrip(";").upper()
             if stripped in ("BEGIN", "COMMIT", "ROLLBACK"):
-                continue
+                return []
             # attribute the DDL to its table so -t/-d gates see it (the
             # reference parses DDL inline for the same reason,
             # core/parser.go:2314-2339); unqualified names inherit the
@@ -504,106 +521,137 @@ def parse_binlog_bytes(
                     db, _, tbl = name.rpartition(".")
                 else:
                     tbl = name
-            yield {
-                "seq": seq_base | (start_off << 12),
-                "log_file": log_file,
+            return [{
+                "seq": self._seq_base | (start_off << 12),
+                "log_file": self.log_file,
                 "log_pos": start_off,
-                "gtid_uuid": gtid_uuid,
-                "gno": gno,
+                "gtid_uuid": self.gtid_uuid,
+                "gno": self.gno,
                 "ts": ev_ts,
-                "thread_id": thread_id,
+                "thread_id": self.thread_id,
                 "db": db,
                 "table": tbl,
                 "op": "ddl",
                 "before_json": None,
                 "after_json": None,
                 "changed_cols": None,
-                "schema_ver": schema_ver,
+                "schema_ver": self.schema_ver,
                 "statement": sql,
-            }
-            continue
+            }]
         if etype == TABLE_MAP_EVENT:
             table_id, tm = _parse_table_map(body)
-            table_maps[table_id] = tm
-            continue
+            self.table_maps[table_id] = tm
+            return []
         if etype in _ROWS_WRITE | _ROWS_UPDATE | _ROWS_DELETE:
-            table_id = _u(body, 0, 6)
-            off = 8  # table id + flags
-            if etype in _ROWS_V2:
-                extra_len = _u(body, off, 2)
-                off += extra_len  # includes its own two bytes
-            tm = table_maps.get(table_id)
-            if tm is None:
-                raise BinlogFormatError(
-                    f"rows event at {start_off} references unknown table id "
-                    f"{table_id} (no preceding TABLE_MAP_EVENT)"
-                )
-            width, off = _lenenc(body, off)
-            bm_len = (width + 7) // 8
-            present1 = body[off : off + bm_len]
+            return self._rows_event(etype, body, start_off, ev_ts)
+        # XID / PREVIOUS_GTIDS / STOP / heartbeats: positional or txn
+        # metadata with no envelope row (the gtid pair persists until
+        # the next GTID event, matching server behavior)
+        return []
+
+    def _rows_event(self, etype, body, start_off, ev_ts) -> list[dict]:
+        table_id = _u(body, 0, 6)
+        off = 8  # table id + flags
+        if etype in _ROWS_V2:
+            extra_len = _u(body, off, 2)
+            off += extra_len  # includes its own two bytes
+        tm = self.table_maps.get(table_id)
+        if tm is None:
+            raise BinlogFormatError(
+                f"rows event at {start_off} references unknown table id "
+                f"{table_id} (no preceding TABLE_MAP_EVENT)"
+            )
+        width, off = _lenenc(body, off)
+        bm_len = (width + 7) // 8
+        present1 = body[off : off + bm_len]
+        off += bm_len
+        present2 = present1
+        if etype in _ROWS_UPDATE:
+            present2 = body[off : off + bm_len]
             off += bm_len
-            present2 = present1
-            if etype in _ROWS_UPDATE:
-                present2 = body[off : off + bm_len]
-                off += bm_len
-            n1 = sum(_bit_set(present1, i) for i in range(width))
-            n2 = sum(_bit_set(present2, i) for i in range(width))
-            names = (
-                names_for.get(f"{tm.db}.{tm.table}".lower())
-                or names_for.get(tm.table.lower())  # unqualified registry key
-                or [f"@{i + 1}" for i in range(tm.col_count)]
+        n1 = sum(_bit_set(present1, i) for i in range(width))
+        n2 = sum(_bit_set(present2, i) for i in range(width))
+        names = (
+            self.names_for.get(f"{tm.db}.{tm.table}".lower())
+            or self.names_for.get(tm.table.lower())  # unqualified registry key
+            or [f"@{i + 1}" for i in range(tm.col_count)]
+        )
+        op = (
+            "insert" if etype in _ROWS_WRITE
+            else "delete" if etype in _ROWS_DELETE
+            else "update"
+        )
+        out: list[dict] = []
+        row_idx = 0
+        while off < len(body):
+            if op == "insert":
+                after, off = _decode_image(body, off, tm, present1, n1, names)
+                before = None
+            elif op == "delete":
+                before, off = _decode_image(body, off, tm, present1, n1, names)
+                after = None
+            else:
+                before, off = _decode_image(body, off, tm, present1, n1, names)
+                after, off = _decode_image(body, off, tm, present2, n2, names)
+            changed = None
+            if op == "update" and n2 < width:
+                # binlog_row_image=MINIMAL: the after image carries
+                # only the changed columns — surface the mask the
+                # MINIMAL merge path consumes
+                changed = [
+                    names[i] if i < len(names) else f"@{i + 1}"
+                    for i in range(width)
+                    if _bit_set(present2, i)
+                ]
+            out.append({
+                # one seq per ROW: rows of a multi-row event order by
+                # their index after the event's start offset
+                "seq": self._seq_base | (start_off << 12) | row_idx,
+                "log_file": self.log_file,
+                "log_pos": start_off,
+                "gtid_uuid": self.gtid_uuid,
+                "gno": self.gno,
+                "ts": ev_ts,
+                "thread_id": self.thread_id,
+                "db": tm.db,
+                "table": tm.table,
+                "op": op,
+                "before_json": json.dumps(before) if before is not None else None,
+                "after_json": json.dumps(after) if after is not None else None,
+                "changed_cols": changed,
+                "schema_ver": self.schema_ver,
+                "statement": None,
+            })
+            row_idx += 1
+        return out
+
+
+def parse_binlog_bytes(
+    data: bytes,
+    *,
+    log_file: str = "binlog",
+    file_ordinal: int | None = None,
+    names_for: dict[str, list[str]] | None = None,
+    schema_ver: int = 2,
+) -> Iterator[dict]:
+    """Parse one binlog FILE's bytes into raw-event envelope dicts
+    (RAW_EVENT columns + `statement`, images as JSON strings): slice
+    the stream into events and feed BinlogEventParser."""
+    if data[:4] != BINLOG_MAGIC:
+        raise BinlogFormatError("bad binlog magic (not a binlog v4 file)")
+    p = BinlogEventParser(
+        log_file, file_ordinal, names_for, schema_ver
+    )
+    pos = 4
+    total = len(data)
+    while pos + _HEADER_LEN <= total:
+        event_size = _u(data, pos + 9, 4)
+        if event_size < _HEADER_LEN or pos + event_size > total:
+            raise BinlogFormatError(
+                f"truncated event at offset {pos} (size {event_size})"
             )
-            op = (
-                "insert" if etype in _ROWS_WRITE
-                else "delete" if etype in _ROWS_DELETE
-                else "update"
-            )
-            row_idx = 0
-            while off < len(body):
-                if op == "insert":
-                    after, off = _decode_image(body, off, tm, present1, n1, names)
-                    before = None
-                elif op == "delete":
-                    before, off = _decode_image(body, off, tm, present1, n1, names)
-                    after = None
-                else:
-                    before, off = _decode_image(body, off, tm, present1, n1, names)
-                    after, off = _decode_image(body, off, tm, present2, n2, names)
-                changed = None
-                if op == "update" and n2 < width:
-                    # binlog_row_image=MINIMAL: the after image carries
-                    # only the changed columns — surface the mask the
-                    # MINIMAL merge path consumes
-                    changed = [
-                        names[i] if i < len(names) else f"@{i + 1}"
-                        for i in range(width)
-                        if _bit_set(present2, i)
-                    ]
-                yield {
-                    # one seq per ROW: rows of a multi-row event order by
-                    # their index after the event's start offset
-                    "seq": seq_base | (start_off << 12) | row_idx,
-                    "log_file": log_file,
-                    "log_pos": start_off,
-                    "gtid_uuid": gtid_uuid,
-                    "gno": gno,
-                    "ts": ev_ts,
-                    "thread_id": thread_id,
-                    "db": tm.db,
-                    "table": tm.table,
-                    "op": op,
-                    "before_json": json.dumps(before) if before is not None else None,
-                    "after_json": json.dumps(after) if after is not None else None,
-                    "changed_cols": changed,
-                    "schema_ver": schema_ver,
-                    "statement": None,
-                }
-                row_idx += 1
-            continue
-        # ROTATE / XID / PREVIOUS_GTIDS / STOP: positional/txn metadata
-        # with no envelope row (the gtid pair persists until the next
-        # GTID event, matching server behavior)
-        continue
+        yield from p.feed(data[pos : pos + event_size], pos)
+        pos += event_size
 
 
 # ---------------------------------------------------------------------------
