@@ -95,18 +95,30 @@ class _Conn:
         return buf
 
     def read_packet(self) -> bytes:
-        head = self._recv_exact(4)
-        length = int.from_bytes(head[:3], "little")
-        self.seq = (head[3] + 1) % 256
-        return self._recv_exact(length)
+        """One LOGICAL packet: payloads of exactly 0xFFFFFF bytes are
+        continued in the next wire packet (the documented 16 MB split —
+        a >16 MB rows event arrives as several frames; the final frame
+        is the first with length < 0xFFFFFF, possibly empty)."""
+        out = b""
+        while True:
+            head = self._recv_exact(4)
+            length = int.from_bytes(head[:3], "little")
+            self.seq = (head[3] + 1) % 256
+            out += self._recv_exact(length)
+            if length < 0xFFFFFF:
+                return out
 
     def send_packet(self, payload: bytes, seq: int | None = None) -> None:
         if seq is not None:
             self.seq = seq
-        self.sock.sendall(
-            len(payload).to_bytes(3, "little") + bytes([self.seq]) + payload
-        )
-        self.seq = (self.seq + 1) % 256
+        while True:
+            chunk, payload = payload[:0xFFFFFF], payload[0xFFFFFF:]
+            self.sock.sendall(
+                len(chunk).to_bytes(3, "little") + bytes([self.seq]) + chunk
+            )
+            self.seq = (self.seq + 1) % 256
+            if len(chunk) < 0xFFFFFF:
+                return
 
 
 def _expect_ok(payload: bytes) -> None:

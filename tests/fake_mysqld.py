@@ -52,13 +52,25 @@ class _Handler(socketserver.BaseRequestHandler):
         return buf
 
     def _read_packet(self):
-        head = self._recv_exact(4)
-        return self._recv_exact(int.from_bytes(head[:3], "little")), head[3]
+        out, seq = b"", 0
+        while True:
+            head = self._recv_exact(4)
+            length = int.from_bytes(head[:3], "little")
+            seq = head[3]
+            out += self._recv_exact(length)
+            if length < 0xFFFFFF:
+                return out, seq
 
     def _send_packet(self, payload, seq):
-        self.request.sendall(
-            len(payload).to_bytes(3, "little") + bytes([seq]) + payload
-        )
+        # faithful 16 MB continuation split, like a real server
+        while True:
+            chunk, payload = payload[:0xFFFFFF], payload[0xFFFFFF:]
+            self.request.sendall(
+                len(chunk).to_bytes(3, "little") + bytes([seq]) + chunk
+            )
+            seq = (seq + 1) % 256
+            if len(chunk) < 0xFFFFFF:
+                return
 
     def handle(self):
         srv = self.server

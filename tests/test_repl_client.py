@@ -150,3 +150,28 @@ def test_tail_to_landing_replays(spark, tmp_path):
            for r in t.read(spark).collect()}
     assert got[("r0", "f3")] == ("c2", "v3b")
     assert ("r1", "f7") not in got and len(got) == 24
+
+
+def test_16mb_packet_continuation():
+    """A rows event past the 16 MB packet bound arrives split across
+    wire packets (length 0xFFFFFF continuation); the client reassembles
+    the logical packet and the decode is unchanged."""
+    w = B.BinlogWriter(checksum=True)
+    types, meta = [B.T_LONG, B.T_BLOB], [0, 4]
+    w.table_map("d", "big", types, meta, ts=1)
+    blob = "x" * (5 << 20)  # 5 MiB per row
+    w.rows("d", "big", "insert", types, meta,
+           [[i, blob] for i in range(4)], ts=1)  # one ~20 MiB event
+    w.xid(1)
+    data = w.bytes()
+    assert len(data) > 0xFFFFFF  # the event really exceeds one packet
+    with FakeMySQLServer(data) as srv:
+        c = ReplicationClient("127.0.0.1", srv.port, "repl", "secret",
+                              names_for={"d.big": ["k", "v"]})
+        c.connect()
+        rows = list(c.binlog_dump("mysql-bin.000001"))
+        c.close()
+    assert len(rows) == 4
+    import json as _json
+    got = _json.loads(rows[3]["after_json"])
+    assert got["k"] == 3 and len(got["v"]) == 5 << 20
