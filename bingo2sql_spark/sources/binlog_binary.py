@@ -623,6 +623,14 @@ class BinlogEventParser:
                 "statement": None,
             })
             row_idx += 1
+        if off != len(body):
+            # a row decode that overshoots the body means truncated or
+            # corrupt values — surface it instead of emitting garbage
+            # rows (the reference hard-fails on unparseable events too)
+            raise BinlogFormatError(
+                f"rows event at {start_off}: row decode overran the event "
+                f"body ({off} > {len(body)})"
+            )
         return out
 
 

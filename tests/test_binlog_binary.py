@@ -365,3 +365,27 @@ def test_streaming_binlog_tail_with_ddl(spark, tmp_path):
     assert got["f0"] == ("c2", "w0", "5")
     assert got["f3"] == ("c1", "v3", None)
     assert len(got) == 10
+
+
+def test_corrupt_rows_event_raises_not_garbage():
+    """Truncated/corrupt value bytes inside a rows event raise
+    BinlogFormatError (overrun check) instead of emitting garbage rows
+    — the reference hard-fails on unparseable events too."""
+    w = B.BinlogWriter(checksum=False)
+    types, meta = [B.T_LONG, B.T_VARCHAR], [0, 40]
+    w.table_map("d", "t", types, meta, ts=1)
+    w.rows("d", "t", "insert", types, meta, [[1, "hello"]], ts=1)
+    data = bytearray(w.bytes())
+    # find the rows event and inflate the varchar's length prefix so the
+    # value decode runs past the body
+    off = 4
+    while off < len(data):
+        size = int.from_bytes(data[off + 9 : off + 13], "little")
+        if data[off + 4] == B.WRITE_ROWS_EVENT:
+            idx = bytes(data).index(b"hello", off) - 1
+            data[idx] = 250  # claims 250 bytes; only 5 exist
+            break
+        off += size
+    with pytest.raises(B.BinlogFormatError, match="overran"):
+        list(B.parse_binlog_bytes(bytes(data), log_file="b.1",
+                                  names_for={"d.t": ["k", "v"]}))
