@@ -360,6 +360,27 @@ def _decode_value(data: bytes, off: int, ctype: int, meta: int):
         return f"{sign}{h:02d}:{mi:02d}:{s:02d}{frac}", off
     if ctype == T_NEWDECIMAL:
         return _decode_newdecimal(data, off, meta >> 8, meta & 0xFF)
+    # pre-5.6.4 legacy temporals (servers upgraded in place still write
+    # them; mysql-bin from 5.1/5.5 masters is full of them)
+    if ctype == T_TIMESTAMP:
+        secs = _u(data, off, 4)
+        ts = _dt.datetime.fromtimestamp(secs, tz=_dt.timezone.utc)
+        return ts.strftime("%Y-%m-%d %H:%M:%S"), off + 4
+    if ctype == T_DATETIME:
+        v = _u(data, off, 8)  # decimal-packed YYYYMMDDHHMMSS
+        d, t = divmod(v, 1_000_000)
+        y, md = divmod(d, 10_000)
+        mo, dd = divmod(md, 100)
+        h, ms = divmod(t, 10_000)
+        mi, s = divmod(ms, 100)
+        return f"{y:04d}-{mo:02d}-{dd:02d} {h:02d}:{mi:02d}:{s:02d}", off + 8
+    if ctype == T_TIME:
+        v = _s(data, off, 3)  # decimal-packed (H*10000 + M*100 + S), signed
+        sign = "-" if v < 0 else ""
+        v = abs(v)
+        h, ms = divmod(v, 10_000)
+        mi, s = divmod(ms, 100)
+        return f"{sign}{h:02d}:{mi:02d}:{s:02d}", off + 3
     raise BinlogFormatError(f"unsupported column type {ctype}")
 
 
@@ -928,6 +949,24 @@ class BinlogWriter:
             else:
                 out[0] |= 0x80
             return bytes(out)
+        if ctype == T_TIMESTAMP:
+            ts = _dt.datetime.strptime(str(v), "%Y-%m-%d %H:%M:%S").replace(
+                tzinfo=_dt.timezone.utc
+            )
+            return struct.pack("<I", int(ts.timestamp()))
+        if ctype == T_DATETIME:
+            datepart, timepart = str(v).split(" ")
+            y, mo, d = (int(x) for x in datepart.split("-"))
+            h, mi, s = (int(x) for x in timepart.split(":"))
+            packed = ((y * 10_000 + mo * 100 + d) * 1_000_000
+                      + h * 10_000 + mi * 100 + s)
+            return struct.pack("<Q", packed)
+        if ctype == T_TIME:
+            txt = str(v)
+            neg = txt.startswith("-")
+            h, mi, s = (int(x) for x in txt.lstrip("-").split(":"))
+            packed = h * 10_000 + mi * 100 + s
+            return (-packed if neg else packed).to_bytes(3, "little", signed=True)
         raise ValueError(f"encoder does not support column type {ctype}")
 
     def _image(self, row: list, types: list[int], meta: list[int],

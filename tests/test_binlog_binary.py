@@ -389,3 +389,23 @@ def test_corrupt_rows_event_raises_not_garbage():
     with pytest.raises(B.BinlogFormatError, match="overran"):
         list(B.parse_binlog_bytes(bytes(data), log_file="b.1",
                                   names_for={"d.t": ["k", "v"]}))
+
+
+def test_legacy_temporal_types():
+    """Pre-5.6.4 TIMESTAMP(7)/DATETIME(12)/TIME(11) — the decimal-packed
+    layouts 5.1/5.5 masters write — round-trip; negative TIME included."""
+    w = B.BinlogWriter(checksum=True)
+    types = [B.T_TIMESTAMP, B.T_DATETIME, B.T_TIME]
+    meta = [0, 0, 0]
+    w.table_map("d", "old", types, meta, ts=1)
+    w.rows("d", "old", "insert", types, meta,
+           [["2009-05-17 12:34:56", "1999-12-31 23:59:59", "838:59:58"],
+            ["1970-01-01 00:00:01", "2024-02-29 00:00:00", "-01:02:03"]],
+           ts=1)
+    evs = list(B.parse_binlog_bytes(w.bytes(), log_file="b.1",
+                                    names_for={"d.old": ["ts", "dt", "t"]}))
+    got = [json.loads(e["after_json"]) for e in evs]
+    assert got[0] == {"ts": "2009-05-17 12:34:56",
+                      "dt": "1999-12-31 23:59:59", "t": "838:59:58"}
+    assert got[1] == {"ts": "1970-01-01 00:00:01",
+                      "dt": "2024-02-29 00:00:00", "t": "-01:02:03"}
