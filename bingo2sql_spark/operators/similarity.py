@@ -43,6 +43,24 @@ def _round_half_away(x):
     return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype("int64")
 
 
+def _exact_matmul(a, b):
+    """a @ b for int64 operands, through float64 BLAS when provably
+    EXACT: float64 represents every integer up to 2^53, so when
+    k * max|a| * max|b| < 2^53 no partial sum can lose a bit and the
+    result equals the int64 product bit-for-bit. numpy has no BLAS
+    kernel for int64 (a matmul falls back to naive C loops, ~30x
+    slower); embedding components here are round(x*1000) of roughly
+    unit-norm vectors (|v| ~ 1e3, k = 64 -> bound ~6e10 << 9e15), so
+    the BLAS path is the one that runs in practice. Inputs outside the
+    provable bound fall back to the int64 loop unchanged."""
+    ma = int(np.abs(a).max(initial=0))
+    mb = int(np.abs(b).max(initial=0))
+    k = a.shape[-1]
+    if k * ma * mb < (1 << 53):
+        return (a.astype("float64") @ b.astype("float64")).astype("int64")
+    return a @ b
+
+
 def dot_int_arrow(a: F.Column, b: F.Column) -> F.Column:
     """Vectorized dot of two embedding columns on round(x*1000) ints:
     a pandas UDF doing ONE einsum per Arrow batch. Bit-identical to
@@ -120,7 +138,7 @@ def brute_force_topk(
                 vmat = round_half_away(
                     np.array(list(pdf[vec_col]), dtype="float64") * 1000
                 )
-                dots = vmat @ qmat.T  # (n_batch, n_queries) exact int64
+                dots = _exact_matmul(vmat, qmat.T)  # (n_batch, n_queries) exact int64
                 nb = len(pdf)
                 kk = min(k, nb)
                 ids = pdf[id_col].to_numpy()
@@ -231,7 +249,7 @@ def cosine_near_dup_pairs(
         out_a, out_b, out_d = [], [], []
         for i0 in range(0, n, chunk_rows):
             i1 = min(i0 + chunk_rows, n)
-            g = iv[i0:i1] @ iv.T  # (chunk, n) exact int64
+            g = _exact_matmul(iv[i0:i1], iv.T)  # (chunk, n) exact int64
             # upper triangle (global j > i <=> id_b > id_a) AND the
             # smaller-id member is in its home bucket (probe dedup rule)
             rows, cols = np.nonzero(g >= thr)
@@ -359,7 +377,7 @@ def with_srp_bucket_arrow(
             if len(pdf) == 0:
                 continue
             iv = _round_half_away(np.array(list(pdf[vec_col]), dtype="float64") * 1000)
-            s = iv @ wt  # (n, n_planes)
+            s = _exact_matmul(iv, wt)  # (n, n_planes)
             bits = (s > 0).astype("uint8").astype(str)
             pdf = pdf.copy()
             pdf["_bucket"] = pd.Series(["".join(r) for r in bits], index=pdf.index)
@@ -426,9 +444,7 @@ def lsh_topk(
                 "_qvec",
                 F.explode(F.array(*probe_exprs(F.col("_bucket")))).alias("_bucket"),
             )
-        # each (query, neighbor) appears at most once (a vector lives in
-        # exactly one bucket; probe codes are distinct) -> no dedup pass
-        cand = vb.join(F.broadcast(qb), "_bucket")
+        bucket_key, dedup = "_bucket", False
     else:
         vb = _with_table_codes(
             vectors.select(id_col, vec_col), vec_col, n_planes, dim, n_tables
@@ -449,21 +465,61 @@ def lsh_topk(
         ).select(
             query_id_col, "_qvec", F.concat_ws("|", F.col("_t"), F.col("_p")).alias("_tbucket")
         )
-        cand = (
-            vb.join(F.broadcast(qb), "_tbucket")
-            # a pair can collide in several tables: dedup before scoring
-            .dropDuplicates([query_id_col, id_col])
+        # a pair can collide in several tables (same dot each time):
+        # dedup the LOCAL top-k rows before the global ranking
+        bucket_key, dedup = "_tbucket", True
+
+    # Score per BUCKET with one BLAS matmul and emit only each bucket's
+    # local top-k per probing query (guide §8: decide on small rows,
+    # move heavy bytes once). The former shape joined every corpus row
+    # to every probing query and shipped BOTH 64-dim vectors per
+    # candidate row through Arrow to a per-row pandas-UDF dot plus a
+    # candidate-sized window sort — at sf1.0 that was 1.26M candidate
+    # rows and 5.7s, all but ~1s of it the per-candidate Python
+    # boundary. Here each corpus vector crosses Arrow ONCE (its own
+    # bucket group), each query vector once per probe, and the global
+    # window ranks <= (probes x k) rows per query. A bucket's local
+    # top-k under the same total order (dot desc, id asc) must contain
+    # every global top-k candidate from that bucket, so results are
+    # identical.
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {query_id_col: [], "neighbor_id": [], "dot_scaled": []}
+        ).astype({query_id_col: "int64", "neighbor_id": "int64", "dot_scaled": "int64"})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ids = left[id_col].to_numpy()
+        vmat = _round_half_away(np.array(list(left[vec_col]), dtype="float64") * 1000)
+        qids = right[query_id_col].to_numpy()
+        qmat = _round_half_away(np.array(list(right["_qvec"]), dtype="float64") * 1000)
+        dots = _exact_matmul(vmat, qmat.T)  # (n, q) exact int64
+        kk = min(k, len(ids))
+        # local top-k per query, ties -> lower neighbor_id (same total
+        # order the global window uses)
+        order = np.lexsort((ids[None, :].repeat(len(qids), 0), -dots.T))
+        top = order[:, :kk]
+        return pd.DataFrame(
+            {
+                query_id_col: np.repeat(qids, kk),
+                "neighbor_id": ids[top].ravel(),
+                "dot_scaled": np.take_along_axis(dots.T, top, 1).ravel(),
+            }
         )
-    scored = cand.select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        dot_int_arrow(F.col(vec_col), F.col("_qvec")).alias("dot_scaled"),
+
+    local = (
+        vb.groupBy(bucket_key)
+        .cogroup(qb.groupBy(bucket_key))
+        .applyInPandas(
+            score, schema=f"{query_id_col} long, neighbor_id long, dot_scaled long"
+        )
     )
+    if dedup:
+        local = local.dropDuplicates([query_id_col, "neighbor_id"])
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dot_scaled").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "dot_scaled", "rank")
     )
@@ -487,7 +543,7 @@ def _with_table_codes(
             if len(pdf) == 0:
                 continue
             iv = _round_half_away(np.array(list(pdf[vec_col]), dtype="float64") * 1000)
-            bits = (iv @ wt > 0).astype("uint8").astype(str)  # (n, L*P)
+            bits = (_exact_matmul(iv, wt) > 0).astype("uint8").astype(str)  # (n, L*P)
             joined = ["".join(r) for r in bits]
             pdf = pdf.copy()
             pdf["_codes"] = [
@@ -547,7 +603,7 @@ def ivf_assign_cells(
             if len(pdf) == 0:
                 continue
             v = _round_half_away(np.array(list(pdf[vec_col]), dtype="float64") * 1000)
-            cells = cid[np.argmax(v @ cmat, axis=1)]
+            cells = cid[np.argmax(_exact_matmul(v, cmat), axis=1)]
             out = pdf[ids + [vec_col]].copy()
             out["_cell"] = cells
             yield out
@@ -745,7 +801,7 @@ def ivf_topk(
                 if len(pdf) == 0:
                     continue
                 v = _round_half_away(np.array(list(pdf[vec_col]), dtype="float64") * 1000)
-                dots = v @ cmat  # (n, C) int64 — exact
+                dots = _exact_matmul(v, cmat)  # (n, C) int64 — exact
                 if n_top == 1:
                     cells = cid[np.argmax(dots, axis=1)].reshape(-1, 1)
                 else:
