@@ -616,6 +616,7 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     window: int = 32,
     stride: int = 16,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact duplicate-SPAN detection — the C4/RefinedWeb-style signal
     for boilerplate shared across documents that whole-doc hashing
@@ -630,10 +631,15 @@ def duplicate_span_stats(
     typically trims docs past ~0.5).
 
     Scale shape: span hashes explode to one row per (doc, distinct
-    span); the global doc-frequency groupBy is the only wide exchange
-    (map-side combined counts — never a pairwise join, so no quadratic
-    bucket risk), and the dup flag comes back via one hash join on the
-    span. Work scales with total tokens / stride."""
+    span) — MATERIALIZED once (persist, released like the pair
+    generators' tables); the global doc-frequency groupBy is the only
+    wide exchange beyond the final per-doc rollup (map-side combined
+    counts — never a pairwise join, so no quadratic bucket risk), and
+    totals + dup flags come from ONE join + ONE groupBy over the same
+    rows. (The former shape recomputed the span explode three times —
+    frequency, flagged and totals branches — and paid two extra
+    shuffles to merge two separate per-doc aggregates.) Work scales
+    with total tokens / stride."""
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
     t = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -648,25 +654,24 @@ def duplicate_span_stats(
             lambda i: F.md5(F.concat_ws(" ", F.slice(t, i * stride + 1, window))),
         )
     )
-    per_doc = docs.select(F.col(id_col), F.explode(spans).alias("_span"))
-    freq = per_doc.groupBy("_span").agg(F.countDistinct(id_col).alias("_df"))
-    dup = freq.filter(F.col("_df") >= 2).select("_span")
-    flagged = per_doc.join(dup, "_span", "left_semi").groupBy(id_col).agg(
-        F.count("*").alias("dup_spans")
+    per_doc = _maybe_persist(
+        docs.select(F.col(id_col), F.explode(spans).alias("_span")), persist
     )
-    totals = per_doc.groupBy(id_col).agg(F.count("*").alias("n_spans"))
-    return (
-        totals.join(flagged, id_col, "left")
-        .select(
-            id_col,
-            "n_spans",
-            F.coalesce(F.col("dup_spans"), F.lit(0)).alias("dup_spans"),
-            F.round(
-                F.coalesce(F.col("dup_spans"), F.lit(0)).cast("double")
-                / F.col("n_spans"),
-                4,
-            ).alias("dup_ratio"),
-        )
+    # (id, span) rows are distinct by construction (array_distinct per
+    # doc), so count(*) == countDistinct(id) per span — the plain count
+    # keeps full map-side combining
+    freq = per_doc.groupBy("_span").agg(F.count("*").alias("_df"))
+    joined = per_doc.join(freq, "_span")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0)).alias("dup_spans"),
+    ).select(
+        id_col,
+        "n_spans",
+        "dup_spans",
+        F.round(F.col("dup_spans").cast("double") / F.col("n_spans"), 4).alias(
+            "dup_ratio"
+        ),
     )
 
 

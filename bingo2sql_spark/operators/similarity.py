@@ -206,6 +206,12 @@ def cosine_near_dup_pairs(
         id_col, vec_col, "_bucket"
     )
     if max_bucket_size:
+        # persist the bucketed table: the cap-count branch and the main
+        # stream would otherwise each re-run the bucket mapInPandas
+        # (one full Arrow round-trip of every vector per reference)
+        from bingo2sql_spark.operators.dedup import _maybe_persist
+
+        vb = _maybe_persist(vb, True)
         ok = (
             vb.groupBy("_bucket")
             .count()

@@ -307,8 +307,11 @@ def _decode_value(data: bytes, off: int, ctype: int, meta: int):
     if ctype == T_STRING:
         real, maxlen = _string_meta(meta)
         if real == T_ENUM:
-            n = 1 if maxlen < 256 else 2
-            return _u(data, off, n), off + n
+            # metadata byte1 IS the storage byte count (1 or 2) for
+            # ENUM — an ENUM with > 255 values has byte1 == 2 (ADVICE
+            # r8: deriving it from a value-count comparison misread a
+            # 2-byte index as 1 byte and misaligned the whole row)
+            return _u(data, off, maxlen), off + maxlen
         if real == T_SET:
             return _u(data, off, maxlen), off + maxlen
         if maxlen < 256:
@@ -317,6 +320,14 @@ def _decode_value(data: bytes, off: int, ctype: int, meta: int):
             n, off = _u(data, off, 2), off + 2
         return data[off : off + n].decode("utf-8", "replace"), off + n
     if ctype in (T_BLOB, T_GEOMETRY):
+        # TEXT-ONLY assumption at this boundary (documented per ADVICE
+        # r8): the JSON envelope stores blob bytes as UTF-8 text, so a
+        # non-UTF8 BINARY blob's unmappable bytes become U+FFFD in the
+        # stored image. TEXT/JSON-bearing blobs (the reference's
+        # replay/flashback payloads) round-trip exactly; true binary
+        # payloads need a bytes-preserving envelope (e.g. a base64
+        # column codec at the caller, sources/codecs.py) rather than
+        # this text image.
         n, off = _u(data, off, meta), off + meta
         return data[off : off + n].decode("utf-8", "replace"), off + n
     if ctype == T_JSON:
@@ -459,6 +470,16 @@ class BinlogEventParser:
         self.file_ordinal = (
             self._ordinal(log_file) if file_ordinal is None else file_ordinal
         )
+        # bit-budget guard (ADVICE r8): seq packs ordinal<<44 into a
+        # signed 64-bit long — an ordinal past 2^19-1 would flip the
+        # sign / bleed into adjacent fields and silently corrupt global
+        # ordering, so refuse loudly instead
+        if not 0 <= self.file_ordinal < (1 << 19):
+            raise BinlogFormatError(
+                f"binlog file ordinal {self.file_ordinal} exceeds the 19-bit "
+                f"seq budget (file {log_file!r}); pass an explicit remapped "
+                f"file_ordinal"
+            )
         self._seq_base = self.file_ordinal << 44
 
     def feed(self, whole: bytes, start_off: int) -> list[dict]:
@@ -471,6 +492,14 @@ class BinlogEventParser:
         if self.checksummed and etype != FORMAT_DESCRIPTION_EVENT:
             body = body[:-4]
         ev_ts = _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc)
+        # bit-budget guard (ADVICE r8): an event offset past 2^32-1
+        # (a >4 GiB file: one transaction larger than max_binlog_size)
+        # would bleed into the ordinal field of the packed seq
+        if start_off >= (1 << 32):
+            raise BinlogFormatError(
+                f"event offset {start_off} exceeds the 32-bit seq budget "
+                f"(file {self.log_file!r} larger than 4 GiB)"
+            )
 
         if etype == FORMAT_DESCRIPTION_EVENT:
             if _u(body, 0, 2) != 4:
@@ -624,6 +653,15 @@ class BinlogEventParser:
                     for i in range(width)
                     if _bit_set(present2, i)
                 ]
+            if row_idx >= (1 << 12):
+                # the encoder caps rows-events at 4095 rows, but a
+                # server with a raised binlog_row_event_max_size can
+                # exceed it — refuse instead of bleeding into the
+                # offset field of the packed seq (ADVICE r8)
+                raise BinlogFormatError(
+                    f"rows event at offset {start_off} carries >= 4096 rows "
+                    f"— exceeds the 12-bit row-index seq budget"
+                )
             out.append({
                 # one seq per ROW: rows of a multi-row event order by
                 # their index after the event's start offset
@@ -896,6 +934,16 @@ class BinlogWriter:
         if ctype == T_BLOB:
             b = v if isinstance(v, bytes) else str(v).encode()
             return len(b).to_bytes(meta, "little") + b
+        if ctype == T_STRING:
+            real, maxlen = _string_meta(meta)
+            if real in (T_ENUM, T_SET):
+                # maxlen is the storage byte count; the value is the
+                # enum index / set bitmask
+                return int(v).to_bytes(maxlen, "little")
+            b = str(v).encode()
+            if maxlen < 256:
+                return bytes([len(b)]) + b
+            return struct.pack("<H", len(b)) + b
         if ctype == T_DATE:
             y, m, d = (int(x) for x in str(v).split("-"))
             return ((y << 9) | (m << 5) | d).to_bytes(3, "little")

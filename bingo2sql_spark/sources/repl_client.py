@@ -202,7 +202,19 @@ class ReplicationClient:
             + b"mysql_native_password\x00"
         )
         conn.send_packet(resp, seq=1)
-        _expect_ok(conn.read_packet())
+        reply = conn.read_packet()
+        if reply[:1] == b"\xfe" and len(reply) > 1:
+            # AuthSwitchRequest (ADVICE r8): the account's plugin
+            # differs from the announced mysql_native_password (e.g.
+            # caching_sha2_password, the MySQL 8 default). Treating the
+            # 0xFE as OK would desync the session on the next command —
+            # fail with the plugin name instead.
+            name = reply[1:].split(b"\x00", 1)[0].decode("utf-8", "replace")
+            raise MySQLProtocolError(
+                f"server requested auth plugin {name!r}; only "
+                f"mysql_native_password is supported"
+            )
+        _expect_ok(reply)
         self._conn = conn
         return {"server_version": server_version, "capabilities_low": cap_low}
 
@@ -213,6 +225,40 @@ class ReplicationClient:
 
     def query_ok(self, sql: str) -> None:
         _expect_ok(self._command(bytes([COM_QUERY]) + sql.encode()))
+
+    def query_scalar(self, sql: str) -> str | None:
+        """COM_QUERY returning ONE text-protocol value (first column of
+        the first row), or None for NULL / an empty result. Minimal
+        classic-resultset reader: column-count packet, column
+        definitions to EOF, row packets to EOF."""
+        from bingo2sql_spark.sources.binlog_binary import _lenenc
+
+        first = self._command(bytes([COM_QUERY]) + sql.encode())
+        if first[:1] == b"\xff":
+            _expect_ok(first)  # raises with the server message
+        if first[:1] == b"\x00":
+            return None  # OK packet: statement produced no resultset
+        n_cols, _ = _lenenc(first, 0)
+        assert self._conn is not None
+        for _ in range(n_cols):  # column definitions
+            self._conn.read_packet()
+        pkt = self._conn.read_packet()
+        if pkt[:1] == b"\xfe" and len(pkt) < 9:  # EOF after definitions
+            pkt = self._conn.read_packet()
+        value: str | None = None
+        seen_row = False
+        while not (pkt[:1] == b"\xfe" and len(pkt) < 9):
+            if pkt[:1] == b"\xff":
+                _expect_ok(pkt)
+            if not seen_row:
+                seen_row = True
+                if pkt[:1] == b"\xfb":  # NULL
+                    value = None
+                else:
+                    n, off = _lenenc(pkt, 0)
+                    value = pkt[off : off + n].decode("utf-8", "replace")
+            pkt = self._conn.read_packet()
+        return value
 
     def register_slave(self) -> None:
         """COM_REGISTER_SLAVE — optional, mirrors go-mysql's default."""
@@ -238,6 +284,19 @@ class ReplicationClient:
         # servers refuse a dump until the session declares it can handle
         # checksummed events (the FDE still tells us whether they ARE)
         self.query_ok("SET @master_binlog_checksum= @@global.binlog_checksum")
+        # Pre-seed the parser's checksum state from the server (ADVICE
+        # r8): a real server sends an ARTIFICIAL ROTATE before the FDE
+        # at dump start; with binlog_checksum=CRC32 that rotate carries
+        # a CRC tail, and a parser that only learns the algorithm from
+        # the FDE would append the 4 CRC bytes to the rotate's file
+        # name — corrupting log_file (and the ordinal-packed seq) for
+        # the whole session. go-mysql likewise learns the algorithm
+        # before the dump. Servers that cannot answer the query leave
+        # the FDE-detect behavior unchanged.
+        try:
+            cs = self.query_scalar("SELECT @@global.binlog_checksum")
+        except MySQLProtocolError:
+            cs = None
         flags = BINLOG_DUMP_NON_BLOCK if non_blocking else 0
         payload = (
             bytes([COM_BINLOG_DUMP])
@@ -248,6 +307,7 @@ class ReplicationClient:
         parser = BinlogEventParser(
             log_file=start_file, names_for=self.names_for, schema_ver=schema_ver
         )
+        parser.checksummed = bool(cs) and cs.upper() == "CRC32"
         pos = start_pos
         while True:
             pkt = self._conn.read_packet()

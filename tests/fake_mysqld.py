@@ -41,6 +41,20 @@ def _err(code: int, msg: str) -> bytes:
     return b"\xff" + struct.pack("<H", code) + msg.encode()
 
 
+def _lenenc_str(s: bytes) -> bytes:
+    assert len(s) < 0xFB
+    return bytes([len(s)]) + s
+
+
+def _coldef(name: bytes) -> bytes:
+    """Minimal ColumnDefinition41 (string fields lenenc, fixed tail)."""
+    return (
+        _lenenc_str(b"def") + _lenenc_str(b"") + _lenenc_str(b"")
+        + _lenenc_str(b"") + _lenenc_str(name) + _lenenc_str(name)
+        + b"\x0c" + struct.pack("<HIBHB", 33, 64, 0xFD, 0, 0) + b"\x00\x00"
+    )
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def _recv_exact(self, n):
         buf = b""
@@ -102,6 +116,15 @@ class _Handler(socketserver.BaseRequestHandler):
         alen = resp[off]
         token = resp[off + 1 : off + 1 + alen]
         expect = native_password_scramble(srv.password, SEED)
+        if srv.auth_switch_plugin:
+            # account uses a different plugin: real servers answer the
+            # handshake response with AuthSwitchRequest (0xFE + plugin
+            # name NUL + plugin data)
+            self._send_packet(
+                b"\xfe" + srv.auth_switch_plugin.encode() + b"\x00" + SEED + b"\x00",
+                2,
+            )
+            return
         if user != srv.user or token != expect:
             self._send_packet(_err(1045, f"Access denied for user '{user}'"), 2)
             return
@@ -114,8 +137,22 @@ class _Handler(socketserver.BaseRequestHandler):
                 return
             cmd = pkt[0]
             if cmd == COM_QUERY:
-                srv.queries.append(pkt[1:].decode("utf-8", "replace"))
-                self._send_packet(OK, 1)
+                sql = pkt[1:].decode("utf-8", "replace")
+                srv.queries.append(sql)
+                if "@@global.binlog_checksum" in sql and sql.strip().upper().startswith(
+                    "SELECT"
+                ):
+                    # classic one-column/one-row text resultset, like a
+                    # real server answering the checksum probe
+                    self._send_packet(b"\x01", 1)  # column count
+                    self._send_packet(_coldef(b"@@global.binlog_checksum"), 2)
+                    self._send_packet(EOF, 3)
+                    self._send_packet(
+                        _lenenc_str(srv.binlog_checksum.encode()), 4
+                    )
+                    self._send_packet(EOF, 5)
+                else:
+                    self._send_packet(OK, 1)
             elif cmd == COM_REGISTER_SLAVE:
                 srv.registered.append(_u(pkt, 1, 4))  # server id
                 self._send_packet(OK, 1)
@@ -132,6 +169,22 @@ class _Handler(socketserver.BaseRequestHandler):
         seq = 1
         off = 4
         fde = None
+        if self.server.artificial_rotate:
+            # real servers open every dump with an ARTIFICIAL ROTATE
+            # (timestamp 0, log_pos 0) naming the dumped file — and
+            # with binlog_checksum=CRC32 that rotate IS checksummed,
+            # BEFORE any FDE announces the algorithm (the ADVICE r8
+            # trap this server now reproduces)
+            import binascii
+
+            name = self.server.dumps[-1][1].encode() if self.server.dumps else b"x.1"
+            body = (4).to_bytes(8, "little") + name
+            size = 19 + len(body) + (4 if self.server.binlog_checksum == "CRC32" else 0)
+            ev = struct.pack("<IBIIIH", 0, 4, 7777, size, 0, 0x20) + body
+            if self.server.binlog_checksum == "CRC32":
+                ev += struct.pack("<I", binascii.crc32(ev))
+            self._send_packet(b"\x00" + ev, seq)
+            seq += 1
         while off + 19 <= len(data):
             size = _u(data, off + 9, 4)
             ev = data[off : off + size]
@@ -152,10 +205,25 @@ class FakeMySQLServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, binlog_bytes: bytes, user="repl", password="secret"):
+    def __init__(
+        self,
+        binlog_bytes: bytes,
+        user="repl",
+        password="secret",
+        binlog_checksum: str = "CRC32",
+        artificial_rotate: bool = False,
+        auth_switch_plugin: str | None = None,
+    ):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.binlog_bytes = binlog_bytes
         self.user, self.password = user, password
+        #: what SELECT @@global.binlog_checksum reports (the dumped log
+        #: bytes must have been built with the matching checksum flag)
+        self.binlog_checksum = binlog_checksum
+        #: send the real-server artificial pre-FDE ROTATE at dump start
+        self.artificial_rotate = artificial_rotate
+        #: respond to auth with an AuthSwitchRequest for this plugin
+        self.auth_switch_plugin = auth_switch_plugin
         self.queries: list[str] = []
         self.registered: list[int] = []
         self.dumps: list[tuple[int, str]] = []

@@ -409,3 +409,32 @@ def test_legacy_temporal_types():
                       "dt": "1999-12-31 23:59:59", "t": "838:59:58"}
     assert got[1] == {"ts": "1970-01-01 00:00:01",
                       "dt": "2024-02-29 00:00:00", "t": "-01:02:03"}
+
+
+def test_enum_set_two_byte_roundtrip():
+    """ADVICE r8: ENUM metadata byte1 IS the storage byte count — a
+    >255-value ENUM packs 2 bytes, and deriving the width any other way
+    misaligns every later column. SET likewise uses maxlen bytes."""
+    w = B.BinlogWriter(checksum=True)
+    w.query("BEGIN", db="test", thread_id=1, ts=10)
+    types = [B.T_STRING, B.T_STRING, B.T_LONGLONG]
+    # meta = (real_type << 8) | pack_bytes: a 2-byte ENUM, a 1-byte SET
+    meta = [(B.T_ENUM << 8) | 2, (B.T_SET << 8) | 1, 0]
+    names = ["e", "s", "n"]
+    w.table_map("test", "et", types, meta, ts=10)
+    w.rows("test", "et", "insert", types, meta, [[300, 0b101, 7]], ts=10)
+    evs = list(B.parse_binlog_bytes(w.bytes(), log_file="b.1",
+                                    names_for={"test.et": names}))
+    got = json.loads(evs[0]["after_json"])
+    # a misread 1-byte ENUM would shift the SET and corrupt n
+    assert got == {"e": 300, "s": 0b101, "n": 7}
+
+
+def test_seq_bit_budget_guards():
+    """ADVICE r8: ordinal/offset/row-index fields of the packed seq
+    raise loudly instead of bleeding into adjacent bit fields."""
+    p = B.BinlogEventParser(log_file="bin.000001")
+    with pytest.raises(B.BinlogFormatError, match="19-bit"):
+        p.set_log_file("bin.9999999")  # ordinal >= 2^19
+    with pytest.raises(B.BinlogFormatError, match="32-bit"):
+        p.feed(b"\x00" * 19, start_off=1 << 32)

@@ -175,3 +175,37 @@ def test_16mb_packet_continuation():
     import json as _json
     got = _json.loads(rows[3]["after_json"])
     assert got["k"] == 3 and len(got["v"]) == 5 << 20
+
+
+def test_artificial_pre_fde_rotate_with_crc_keeps_file_name_clean():
+    """ADVICE r8: real servers open a dump with an ARTIFICIAL ROTATE
+    (sent BEFORE the FDE) that is CRC32-checksummed when
+    binlog_checksum=CRC32. The client pre-seeds the parser's checksum
+    state from @@global.binlog_checksum, so the rotate's file name must
+    come through without the 4 CRC bytes appended."""
+    data = _log()
+    with FakeMySQLServer(data, artificial_rotate=True) as srv:
+        c = ReplicationClient("127.0.0.1", srv.port, "repl", "secret",
+                              names_for=NAMES)
+        c.connect()
+        rows = list(c.binlog_dump("mysql-bin.000001", start_pos=4))
+        c.close()
+        assert any(
+            q.strip().upper().startswith("SELECT") and "binlog_checksum" in q
+            for q in srv.queries
+        )
+    assert rows and all(e["log_file"] == "mysql-bin.000001" for e in rows)
+    # the ordinal-packed seqs stay sane too (a corrupted name would
+    # change the digit-derived ordinal)
+    assert all(e["seq"] >> 44 == 1 for e in rows)
+
+
+def test_auth_switch_request_raises_loudly():
+    """ADVICE r8: a 0xFE AuthSwitchRequest after HandshakeResponse41
+    (account on caching_sha2_password etc.) must raise with the plugin
+    name, not be mistaken for OK and desync the session."""
+    data = _log()
+    with FakeMySQLServer(data, auth_switch_plugin="caching_sha2_password") as srv:
+        c = ReplicationClient("127.0.0.1", srv.port, "repl", "secret")
+        with pytest.raises(MySQLProtocolError, match="caching_sha2_password"):
+            c.connect()
