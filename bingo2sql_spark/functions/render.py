@@ -33,13 +33,16 @@ KEY_COLS = list(S.MERGE_KEYS)
 
 
 def sql_escape(c: Column) -> Column:
-    """Backslash escaping, full escapeBytesBackslash character set
+    r"""Backslash escaping, full escapeBytesBackslash character set
     (core/parser.go:1894-1935): \\ ' " NUL(0x00) Ctrl-Z(0x1a) LF CR.
     Content containing NUL or Ctrl-Z would otherwise corrupt/truncate
-    the replayed SQL text."""
-    c = F.regexp_replace(c, r"\\", r"\\\\")
-    c = F.regexp_replace(c, r"'", r"\\'")
-    c = F.regexp_replace(c, '"', '\\\\"')
+    the replayed SQL text.
+
+    The three keep-the-char escapes (\\ ' ") fuse into ONE capture-group
+    pass — identical output to the sequential replaces (the inserted
+    backslashes are untouched by the later control-char passes), and two
+    fewer full regex scans per literal on the render hot path."""
+    c = F.regexp_replace(c, "([\\\\'\"])", r"\\$1")
     c = F.regexp_replace(c, r"\n", r"\\n")
     c = F.regexp_replace(c, r"\r", r"\\r")
     c = F.regexp_replace(c, "\x00", r"\\0")
@@ -603,7 +606,12 @@ def render_multi_row_inserts(
     separate statements (reference batches only within one RowsEvent,
     core/parser.go:1175-1240). Output: (seq of first row, sql)."""
     cols = payload_cols or S.payload_columns()
-    runs = with_insert_runs(events)
+    # project early (guide §2.3): the run window shuffles its input, and
+    # this insert-only renderer never reads the before image — dropping
+    # it (and other unused columns) before with_insert_runs roughly
+    # halves the window exchange's bytes on a full DML stream
+    needed = ["seq", "gtid_uuid", "gno", "ts", "thread_id", "db", "table", "op", "after"]
+    runs = with_insert_runs(events.select(*[c for c in needed if c in events.columns]))
     return _batched_insert_stmts(runs, cols, batch_rows).select("seq", "sql")
 
 

@@ -87,8 +87,16 @@ def corpus_stats_by_source(
         .cast("long")
         .alias("_q10k"),
     )
-    digest_counts = base.groupBy("_digest").agg(F.count("*").alias("_copies"))
-    j = base.join(digest_counts, "_digest")
+    # corpus-wide copy count via a window over the digest instead of a
+    # groupBy + self-join: `base` (md5 + tokenization + quality HOFs,
+    # the expensive projection) is then computed ONCE — the self-join
+    # shape re-ran it on both sides — and the digest exchange replaces
+    # the join's two exchanges
+    from pyspark.sql import Window
+
+    j = base.withColumn(
+        "_copies", F.count("*").over(Window.partitionBy("_digest"))
+    )
     return (
         j.groupBy("source")
         .agg(
