@@ -220,14 +220,24 @@ def minhash_candidate_pairs(
         F.col(id_col), F.col("bd.band").alias("band"), F.col("bd.digest").alias("digest")
     )
     if max_bucket_size:
-        counts = _log_dropped(
+        _log_dropped(
             exploded.groupBy("band", "digest").count(),
             F.col("count") > max_bucket_size,
             f"minhash_candidate_pairs(max_bucket_size={max_bucket_size})",
             log_dropped,
         )
-        ok = counts.filter(F.col("count") <= max_bucket_size).select("band", "digest")
-        exploded = exploded.join(ok, ["band", "digest"], "left_semi")
+        # cap via a window over the band exchange instead of a count
+        # groupBy + semi-join: ONE exchange on (band, digest), whose
+        # partitioning the candidate self-join then reuses (no further
+        # exchange before the pair distinct) — measured 1.3-2.1s ->
+        # 0.7-1.4s for the capped pair generation at sf1.0, identical
+        # pair set
+        wb = Window.partitionBy("band", "digest")
+        exploded = (
+            exploded.withColumn("_bc", F.count("*").over(wb))
+            .filter(F.col("_bc") <= max_bucket_size)
+            .drop("_bc")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -1041,6 +1051,8 @@ def simhash_pairs(
             f"simhash_pairs(max_bucket_size={max_bucket_size})",
             log_dropped,
         )
+        # count + anti-join, not the window cap — same pair-expansion
+        # vs band-table asymmetry as simhash_pairs_banded (see there)
         big = counts.filter(F.col("count") > max_bucket_size).select("simhash")
         sig = sig.join(big, "simhash", "left_anti")
     exact = sig.select(F.col(id_col).alias("_id"), F.col("simhash").alias("_sig"))
@@ -1147,6 +1159,12 @@ def simhash_pairs_banded(
             f"simhash_pairs_banded(max_bucket_size={max_bucket_size})",
             log_dropped,
         )
+        # cap via count + semi-join, NOT the window-cap used by
+        # minhash_candidate_pairs: this operator's candidate expansion
+        # is orders of magnitude larger than its band table (9.6M pairs
+        # from 120k band rows at sf1.0), and AQE coalesces the small
+        # window exchange to 1-2 partitions — the expansion then
+        # inherits that starved parallelism (measured 2.9s -> 8.0s).
         ok = counts.filter(F.col("count") <= max_bucket_size).select("band", "bits")
         exploded = exploded.join(ok, ["band", "bits"], "left_semi")
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -1224,14 +1242,21 @@ def ngram_jaccard_pairs(
     posts = _maybe_persist(posts, persist)  # sizes, cap count, both join sides
     sizes = posts.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_doc_freq:
-        counts = _log_dropped(
+        _log_dropped(
             posts.groupBy("s").count(),
             F.col("count") > max_doc_freq,
             f"ngram_jaccard_pairs(max_doc_freq={max_doc_freq})",
             log_dropped,
         )
-        df_counts = counts.filter(F.col("count") <= max_doc_freq)
-        posts = posts.join(df_counts.select("s"), "s", "left_semi")
+        # window cap over the posting exchange (see
+        # minhash_candidate_pairs): the inverted-index self-join on the
+        # shingle reuses the window's partitioning
+        wp = Window.partitionBy("s")
+        posts = (
+            posts.withColumn("_pc", F.count("*").over(wp))
+            .filter(F.col("_pc") <= max_doc_freq)
+            .drop("_pc")
+        )
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if block_col:
