@@ -236,9 +236,13 @@ def test_decorate_window_is_partitioned(spark, small_events):
 def test_degenerate_bucket_caps_default_on(spark):
     """VERDICT r4 #3: the dedup pair generators must carry their
     degenerate-bucket cap sub-plan BY DEFAULT — a naive caller at corpus
-    scale must not get the quadratic boilerplate blow-up. The cap shows
-    up as a semi/anti join against the bucket-count aggregate, and the
-    no-silent-caps Observation (CollectMetrics) rides the same subtree."""
+    scale must not get the quadratic boilerplate blow-up. Two deliberate
+    cap shapes exist since r9: minhash/ngram cap with a bucket-count
+    WINDOW over the band exchange (the candidate join reuses its
+    partitioning — one exchange instead of groupBy + semi-join), while
+    the simhash variants keep the count + semi/anti-join (their pair
+    expansion is orders of magnitude larger than the band table, and
+    AQE's coalescing of the small window exchange would starve it)."""
     from bingo2sql_spark.operators import dedup as DD
 
     docs = spark.createDataFrame(
@@ -247,9 +251,15 @@ def test_degenerate_bucket_caps_default_on(spark):
     )
     for df in (
         DD.minhash_candidate_pairs(docs),
+        DD.ngram_jaccard_pairs(docs, threshold=0.1),
+    ):
+        plan = _optimized(df)
+        # window-count cap: count over the band partition + <= filter
+        assert "windowspecdefinition" in plan and "count(" in plan, plan
+        assert "<= " in plan, plan
+    for df in (
         DD.simhash_pairs(docs),
         DD.simhash_pairs_banded(docs),
-        DD.ngram_jaccard_pairs(docs, threshold=0.1),
     ):
         plan = _optimized(df)
         # the cap materializes as a semi join (keep-list) or anti join
