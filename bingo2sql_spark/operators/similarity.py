@@ -202,9 +202,14 @@ def cosine_near_dup_pairs(
     fire once (both home), hamming-1 pairs fire in exactly one of their
     two home groups, probed-probed co-occurrences never fire. Cost:
     (n_planes+1)x rows into the groupBy — the standard probe trade."""
-    vb = with_srp_bucket_arrow(vectors, vec_col, n_planes, dim).select(
-        id_col, vec_col, "_bucket"
-    )
+    # int32 vector proxy from the bucket pass (see with_srp_bucket_arrow):
+    # the probe explode below fans every vector out (n_planes+1)-fold
+    # into the bucket shuffle, so carrying round(x*1000) as array<int>
+    # instead of array<double> quarters the exchange's payload bytes —
+    # the scorer consumes exactly these ints either way
+    vb = with_srp_bucket_arrow(
+        vectors, vec_col, n_planes, dim, emit_int_vec=True
+    ).select(id_col, F.col("_iv").alias(vec_col), "_bucket")
     if max_bucket_size:
         # persist the bucketed table: the cap-count branch and the main
         # stream would otherwise each re-run the bucket mapInPandas
@@ -249,9 +254,8 @@ def cosine_near_dup_pairs(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         home = pdf["_home"].to_numpy()[order]
-        iv = _round_half_away(
-            np.array(list(pdf[vec_col].iloc[order]), dtype="float64") * 1000
-        )
+        # rows arrive with the int32 proxy from the bucket pass
+        iv = np.array(list(pdf[vec_col].iloc[order]), dtype="int64")
         out_a, out_b, out_d = [], [], []
         for i0 in range(0, n, chunk_rows):
             i1 = min(i0 + chunk_rows, n)
@@ -365,17 +369,29 @@ def with_srp_bucket_arrow(
     n_planes: int = 8,
     dim: int = 64,
     plane_offset: int = 0,
+    emit_int_vec: bool = False,
 ) -> DataFrame:
     """srp_bucket computed with one numpy matmul per Arrow batch
     (identical bits to the Column-expression variant; ~10x faster on
     large corpora — interpreted HOFs evaluate per element).
     `plane_offset` selects a disjoint hyperplane family (multi-table
-    LSH: table t uses planes [t*n_planes, (t+1)*n_planes))."""
+    LSH: table t uses planes [t*n_planes, (t+1)*n_planes)).
+
+    `emit_int_vec=True` additionally REPLACES `vec_col` with `_iv`, the
+    exact round(x*1000) integer proxy as array<int> — the value every
+    downstream scorer recomputes anyway. int32 quarters the per-row
+    vector bytes of any following shuffle (the probe explode fans
+    vectors out (n_planes+1)-fold); |round(x*1000)| must fit int32,
+    i.e. |x| < ~2.1e6 — guarded loudly, unreachable for any real
+    embedding."""
     from pyspark.sql import types as T
 
     wt = _srp_weights(n_planes, dim, plane_offset).T  # (dim, n_planes)
+    base = [f for f in df.schema.fields if not (emit_int_vec and f.name == vec_col)]
     out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("_bucket", T.StringType())]
+        base
+        + ([T.StructField("_iv", T.ArrayType(T.IntegerType()))] if emit_int_vec else [])
+        + [T.StructField("_bucket", T.StringType())]
     )
 
     def gen(batches):
@@ -386,8 +402,16 @@ def with_srp_bucket_arrow(
             s = _exact_matmul(iv, wt)  # (n, n_planes)
             bits = (s > 0).astype("uint8").astype(str)
             pdf = pdf.copy()
+            if emit_int_vec:
+                if np.abs(iv).max(initial=0) >= (1 << 31):
+                    raise ValueError(
+                        "embedding component overflows the int32 proxy "
+                        "(|round(x*1000)| >= 2^31)"
+                    )
+                pdf["_iv"] = list(iv.astype("int32"))
+                pdf = pdf.drop(columns=[vec_col])
             pdf["_bucket"] = pd.Series(["".join(r) for r in bits], index=pdf.index)
-            yield pdf
+            yield pdf[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(gen, schema=out_schema)
 
